@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query (TPC-H-Q1-style pricing summary) on
+                 the sf0.001 fixtures; smoke-checked by the driver.
+queries()      — every implemented operator from SURVEY.md §2, one
+                 callable (spark, sf_dir) -> DataFrame each.
+oracle_sql()   — DuckDB-equivalent SQL per query where the semantics
+                 are ANSI-SQL-expressible; hash-function-specific or
+                 approximate operators (minhash/simhash/IVF/laplace)
+                 are rows-only by design.
 """
 
 from __future__ import annotations
@@ -13,26 +16,46 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pwir_zadanie_4_mapreduce_spark import catalog, laplace
+from pwir_zadanie_4_mapreduce_spark.operators import ORACLES, QUERIES
+from pwir_zadanie_4_mapreduce_spark.operators.relational import q1_pricing_summary
+from pwir_zadanie_4_mapreduce_spark.session import get_or_tune
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    get_or_tune(spark)
+    return q1_pricing_summary(spark, catalog.SMOKE_SF_DIR)
+
+
+def _laplace_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference capability (SURVEY.md §7.2): N=8 red-black SOR to
+    convergence; golden-output tested against laplace-seq.exe in
+    tests/test_laplace.py (47 iterations, per-cell <= 1e-9)."""
+    get_or_tune(spark)
+    result = laplace.solve(spark, n=8)
+    return result.grid.orderBy("i", "j")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def tuned(fn):
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            get_or_tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapper.__name__ = getattr(fn, "__name__", "query")
+        wrapper.__doc__ = fn.__doc__
+        return wrapper
+
+    out = {name: tuned(fn) for name, fn in QUERIES.items()}
+    out["laplace_sor_n8"] = _laplace_query
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle per SQL-expressible query (same column names and
+    types as the Spark result; doubles rounded to 4 decimals on both
+    sides)."""
+    return dict(ORACLES)

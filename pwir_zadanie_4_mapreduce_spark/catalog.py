@@ -1,0 +1,69 @@
+"""Catalog: load the driver-supplied parquet tables for a scale factor.
+
+Tables (TESTDATA.md / FIXTURES.md §1): region nation customer supplier
+part orders lineitem events documents embeddings.
+
+Scale notes (100 TB design):
+- parquet scans get predicate pushdown + column pruning from Catalyst;
+  queries must `select` only needed columns so ReadSchema stays narrow.
+- the small dimension tables (region/nation/supplier/part/customer at
+  low SF) are broadcast-join candidates; `dims()` exposes which, so
+  operators can wrap them in `F.broadcast` explicitly rather than
+  trusting autoBroadcastJoinThreshold at tiny SF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables small enough (bounded cardinality independent of fact growth)
+# to broadcast even at 100 TB fact scale.
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses
+        # to read natively; read nanos as int64 and truncate to µs —
+        # the same truncation DuckDB applies casting ns → TIMESTAMP.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,39 @@
+"""Text feature functions — Catalyst expressions only.
+
+The documents fixture is space-separated lowercase words
+(FIXTURES.md §1), so whitespace tokenization is exact; the regex
+variants exist for messier corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization, dropping empty tokens."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles (overlapping) as an array<string> of joined grams.
+
+    Built with transform over token indices — stays JVM-side. Documents
+    shorter than n words yield a single shingle of the whole text.
+    """
+    toks = tokenize(text)
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Character n-grams as array<string> (for fingerprinting/lang-id)."""
+    k = F.greatest(F.length(text) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.substr(text, i + 1, F.lit(n)),
+    )

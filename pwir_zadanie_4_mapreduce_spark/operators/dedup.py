@@ -1,0 +1,287 @@
+"""Deduplication operators over the `documents` table — the core of a
+training-data pipeline at 100 TB (SURVEY.md §2.2 LLM-pipeline group).
+
+Five strategies, weakest-to-strongest blocking:
+- exact: sha256 content hash, survivor = min doc_id. One shuffle.
+- token-shingle exact Jaccard: inverted-index join (explode shingles,
+  pair docs sharing one) — never an all-pairs cross join. Skewed
+  "stop-shingles" are the scale hazard; AQE skew-join handles
+  moderate skew, and a document-frequency cap is the standard
+  mitigation (kept off here so the DuckDB oracle can mirror
+  semantics exactly).
+- MinHash + LSH banding: constant-size signature per doc, candidates
+  from band-bucket equality, then exact-Jaccard verification. The
+  100 TB path: shuffle volume is O(docs × bands), independent of
+  document length.
+- SimHash: 64-bit signature, 16-bit band blocking guarantees recall
+  for Hamming distance <= 3 (pigeonhole over 4 bands).
+- embedding cosine: exact pairs above a cosine threshold via
+  normalized dot product (brute force at test SF; the ANN scale path
+  lives in operators/similarity.py).
+
+All hashing is Spark's xxhash64 — deterministic, seedable by mixing a
+band/permutation id into the input, and JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.functions.textfn import tokenize, word_shingles
+from pwir_zadanie_4_mapreduce_spark.functions.vectors import dot, l2_norm
+from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
+from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+
+SHINGLE_WORDS = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_PERMS = 32
+MINHASH_BAND_ROWS = 2  # 16 bands × 2 rows: P(candidate | j=0.5) ≈ 0.99
+COSINE_DUP_THRESHOLD = 0.4
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id,
+           text,
+           sha256(text) AS text_sha256,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, survivor = min doc_id.
+
+    At scale: group on the 64-hex digest rather than the full text so
+    the shuffle key is 32 bytes, not document-sized. (Here the full
+    text rides along for the oracle comparison.)
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.withColumn("text_sha256", F.sha2("text", 256))
+        .groupBy("text", "text_sha256")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "text", "text_sha256", "n_copies")
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), SHINGLE_WORDS)).alias("sh")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WORDS - 1}], ' '))) AS sh
+        FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs.
+
+    Inverted-index plan: explode distinct shingles → self-join on the
+    shingle → per-pair intersection count → Jaccard from per-doc
+    shingle counts. Pairs sharing zero shingles never materialize, so
+    cost is driven by shingle document-frequency, not docs².
+    """
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signature(sh_col, perms: int = MINHASH_PERMS):
+    """array<bigint> MinHash signature: perm p's hash of shingle s is
+    xxhash64(p, s); the signature element is the min over shingles."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(perms - 1)),
+        lambda p: F.array_min(F.transform(sh_col, lambda s: F.xxhash64(p, s))),
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: hash-function-specific, not ANSI-SQL-expressible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-Jaccard verified.
+
+    Pipeline: shingle → 32-perm MinHash signature → 16 bands of 2 →
+    candidates = docs sharing a band bucket → verify exact Jaccard >=
+    0.5 on the candidate set only. At 100 TB the verify join touches
+    only candidate pairs; signatures bound shuffle width regardless of
+    document size. P(miss | j=0.5) = (1 - 0.25)^16 ≈ 1%.
+    """
+    sh = _shingled(spark, sf_dir)
+    bands = MINHASH_PERMS // MINHASH_BAND_ROWS
+    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b, F.slice(F.col("sig"), b * MINHASH_BAND_ROWS + 1, MINHASH_BAND_ROWS)
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band_id", "band_hash"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band_id", "band_hash"
+    )
+    candidates = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        candidates.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash64(tokens_col):
+    """64-bit SimHash over a token array: bit b is set iff the sum over
+    tokens of ±1 (per bit b of xxhash64(token)) is non-negative.
+
+    Bit positions are Python ints (shift amounts must be literals), so
+    this expands to 64 aggregate expressions over the pre-hashed token
+    array — all JVM-side, one xxhash64 per token shared by all bits."""
+    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+
+    def vote(b: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit_value = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        sig = sig.bitwiseOR(F.when(vote(b) >= 0, bit_value).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+@register("dedup_simhash")  # rows-only: hash-function-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= 3.
+
+    16-bit band blocking over the 64-bit signature: any pair within
+    distance 3 must agree on >= 1 of the 4 bands (pigeonhole), so
+    recall is exact for the distance bound — no probabilistic miss.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = docs.select(
+        "doc_id", simhash64(tokenize(F.col("text"))).alias("simhash")
+    )
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_bits"),
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+                         "band_id", "band_bits")
+    right = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+                          "band_id", "band_bits")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, ["band_id", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming_dist"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming_dist") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+          / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold, exact.
+
+    Brute-force normalized dot product over the pair space — correct
+    and oracle-checkable at test SF. The 100 TB path replaces the
+    pair join with LSH bucketing (similarity.py) or blocked matmul.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # compute dot(raw)/(norm_a·norm_b) in the SAME association order as
+    # the oracle so borderline pairs agree bit-for-bit at the threshold
+    prepped = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = prepped.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("nrm_a")
+    )
+    b = prepped.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nrm_b")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", dround("cosine", 4).alias("cosine"))
+    )

@@ -1,0 +1,132 @@
+"""Multimodal column plumbing (SURVEY.md §2.2 / driver brief).
+
+Media are opaque `binary` columns + typed metadata structs. The
+container has no image/audio codecs, so the *decode* step is a
+deterministic fake behind ``mapInPandas`` — but everything Spark-side
+is real and tested: schema, Arrow batch shape, partition-preserving
+iterator contract, and the metadata extraction that a real decoder
+would slot into.
+
+At 100 TB: binary payloads dominate I/O, so the rule is (1) never
+shuffle the payload — extract features first, project the binary away
+before any wide transform; (2) mapInPandas with modest
+``maxRecordsPerBatch`` so Arrow batches of large blobs fit executor
+memory; (3) store payloads in their own parquet column chunk so
+metadata-only queries never read them (column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+
+DECODE_SCHEMA = (
+    "doc_id bigint, byte_len int, fake_width int, fake_height int, n_frames int, checksum bigint"
+)
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB for a real image decode (no codec libs in this container).
+
+    Deterministic fake: derives (width, height, frames) from payload
+    length. A real implementation would call PIL/libvips here and keep
+    the exact same signature and return contract.
+    """
+    byte_len = len(payload)
+    return 64 + byte_len % 640, 64 + (byte_len * 7) % 480, 1 + byte_len % 16
+
+
+def real_decode_unavailable(*_args, **_kwargs):  # pragma: no cover
+    raise NotImplementedError(
+        "image/audio codecs are not installed in this container; "
+        "decode_image_stub provides the deterministic stand-in"
+    )
+
+
+def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """mapInPandas worker: per-Arrow-batch 'decode' of binary payloads."""
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        widths, heights, frames, checksums = [], [], [], []
+        for p in payloads:
+            b = bytes(p)
+            w, h, f = decode_image_stub(b)
+            widths.append(w)
+            heights.append(h)
+            frames.append(f)
+            checksums.append(sum(b[:64]))  # cheap deterministic digest
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": payloads.map(len).astype("int32"),
+                "fake_width": pd.Series(widths, dtype="int32"),
+                "fake_height": pd.Series(heights, dtype="int32"),
+                "n_frames": pd.Series(frames, dtype="int32"),
+                "checksum": pd.Series(checksums, dtype="int64"),
+            }
+        )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Materialize an opaque binary column (documents.text encoded) —
+    the stand-in for real image/audio bytes, plus typed metadata."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length("text").alias("declared_len"),
+        ).alias("media_meta"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER)                  AS byte_len,
+           CAST(64 + length(text) % 640 AS INTEGER)       AS fake_width,
+           CAST(64 + (length(text) * 7) % 480 AS INTEGER) AS fake_height,
+           CAST(1 + length(text) % 16 AS INTEGER)         AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode via mapInPandas (Arrow-batched).
+
+    The fake decode is arithmetic on payload length, so the oracle can
+    mirror it (text is ASCII ⇒ byte length == char length); the value
+    under test is the real plumbing: binary encode → Arrow transfer →
+    per-batch pandas iterator → typed feature columns.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = with_binary_payload(docs)
+    feats = media.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+    return feats.select("doc_id", "byte_len", "fake_width", "fake_height", "n_frames")
+
+
+@register("multimodal_frame_sample")  # rows-only: per-frame fan-out shape check
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: one row per sampled 'frame' (video-style
+    fan-out). posexplode over the decoded frame count — the payload is
+    projected away BEFORE the explode so the fan-out never duplicates
+    megabyte blobs (the #1 multimodal-pipeline scale mistake)."""
+    feats = multimodal_decode_features(spark, sf_dir)
+    return (
+        feats.select(
+            "doc_id",
+            "n_frames",
+            F.posexplode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias(
+                "frame_idx", "frame_offset"
+            ),
+        )
+        .filter(F.col("frame_idx") % 4 == 0)  # sample every 4th frame
+        .select("doc_id", "n_frames", "frame_idx")
+    )

@@ -1,0 +1,184 @@
+"""Similarity search over the embeddings table.
+
+Two tiers (SURVEY.md §2.2 / driver brief):
+- brute-force cosine top-k — the exactness baseline; a broadcast of
+  the query vector + one pass over the corpus, so it's actually the
+  *right* plan at any scale when k is small and there's one query
+  (a full scan is unavoidable without an index).
+- IVF-style ANN: a coarse quantizer (deterministic centroids) routes
+  each vector to a bucket; queries probe the nearest few buckets.
+  Cuts the scanned fraction to nprobe/ncentroids at the cost of
+  recall. Both the assignment and the probe are plain joins — at
+  100 TB the bucketed corpus would be written partitioned by
+  centroid_id so a probe prunes partitions at the source.
+
+Cosine is computed as dot(raw)/(norm·norm) in a fixed association
+order, matching the DuckDB oracle bit-for-bit (see dedup.py note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.functions.vectors import dot, l2_norm
+from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
+from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+N_CENTROIDS = 16
+N_PROBE = 4
+
+_COS_SQL = """list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))
+              / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+                 * sqrt(list_sum(list_transform({b}, x -> x * x))))"""
+
+
+def _prepped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    return e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+
+
+def _cosine(va: Column, na: Column, vb: Column, nb: Column) -> Column:
+    return dot(va, vb) / (na * nb)
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+    q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND(list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+                 / (e.nrm * q.qn), 4) AS cosine
+    FROM e CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+             / (e.nrm * q.qn) DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for one query vector (vec_id=0).
+
+    The single-row query side broadcasts; the corpus is scanned once;
+    TakeOrderedAndProject gives a per-partition heap + driver merge —
+    no global sort even at 100 TB.
+    """
+    e = _prepped(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = _cosine(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qn"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", dround("cosine", 4).alias("cosine"))
+    )
+
+
+def assign_centroids(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Route each vector to its max-cosine centroid (coarse quantizer)."""
+    from pyspark.sql.window import Window
+
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "v",
+        "nrm",
+        "centroid_id",
+        _cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk", "c_cos")
+    )
+
+
+@register("sim_topk_ivf")  # rows-only: approximate (recall tested vs brute force in pytest)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: probe the query's nearest 4 of 16
+    coarse centroids, exact cosine within the probed buckets only.
+
+    Centroids are deterministic (the 16 lowest vec_ids) — a stand-in
+    for a k-means codebook that keeps the whole pipeline seed-free.
+    Scanned fraction ≈ nprobe/ncentroids = 25%; at 100 TB the corpus
+    is written partitioned by centroid_id so probes prune at the scan.
+    """
+    e = _prepped(spark, sf_dir)
+    centroids = (
+        e.orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    assigned = assign_centroids(e, centroids)
+    q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    probe_buckets = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            _cosine(F.col("cv"), F.col("cn"), F.col("qv"), F.col("qn")).alias("c_cos"),
+        )
+        .orderBy(F.desc("c_cos"), "centroid_id")
+        .limit(N_PROBE)
+        .select("centroid_id")
+    )
+    cos = _cosine(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qn"))
+    return (
+        assigned.join(F.broadcast(probe_buckets), "centroid_id")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", dround("cosine", 4).alias("cosine"))
+    )
+
+
+@register(
+    "sim_label_centroid_distance",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(v[1]), 4) AS avg_first,
+           ROUND(AVG(list_sum(list_transform(v, x -> x * x))), 4) AS avg_sq_norm
+    FROM e GROUP BY label
+    """,
+)
+def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics (grouped agg over array column)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sq_norm = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return (
+        e.select("label", v[0].alias("first"), sq_norm.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            dround(F.avg("first"), 4).alias("avg_first"),
+            dround(F.avg("sq"), 4).alias("avg_sq_norm"),
+        )
+    )

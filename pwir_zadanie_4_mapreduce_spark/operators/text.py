@@ -1,0 +1,197 @@
+"""Text analysis operators over the `documents` table (SURVEY.md §2.2
+LLM-pipeline group): token statistics, quality scoring, language ID,
+and document fingerprinting.
+
+Everything except the fingerprint (engine-specific hash) is expressed
+as Catalyst expressions with an exact DuckDB oracle. No Python in the
+hot path — split/filter/aggregate are all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.functions.textfn import char_ngrams, tokenize
+from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
+from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# marker-word lists for the n-gram/stopword language heuristic;
+# deterministic tie-break order: en > fr > de > es (zh via CJK chars)
+LANG_MARKERS = {
+    "en": ("the", "and", "is", "of"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "las", "una"),
+}
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(array_length(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(array_length(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           ROUND(list_sum(list_transform(string_split(text, ' '),
+                 t -> CAST(length(t) AS DOUBLE)))
+                 / array_length(string_split(text, ' ')), 4) AS avg_token_len,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, mean length."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    total_len = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        dround(total_len / F.size(toks), 4).alias("avg_token_len"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(array_length(string_split(text, ' '))), 4) AS avg_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per language tag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        dround(F.avg("n_chars"), 4).alias("avg_chars"),
+        dround(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(array_length(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               array_length(list_filter(string_split(text, ' '),
+                   t -> t IN ({_STOP_SQL})))::DOUBLE
+                   / array_length(string_split(text, ' ')) AS stopword_ratio,
+               array_length(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / array_length(string_split(text, ' ')) AS distinct_ratio
+        FROM documents)
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(stopword_ratio, 4) AS stopword_ratio,
+           ROUND(distinct_ratio, 4) AS distinct_ratio,
+           ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                 + 0.3 * distinct_ratio
+                 + 0.3 * LEAST(stopword_ratio * 5.0, 1.0), 4) AS quality_score
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, lexical diversity, stopword
+    density — the standard cheap pre-filters of a training-data
+    pipeline, as pure column expressions."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    quality = (
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * distinct_ratio
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        dround(stop_ratio, 4).alias("stopword_ratio"),
+        dround(distinct_ratio, 4).alias("distinct_ratio"),
+        dround(quality, 4).alias("quality_score"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"array_length(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS true_lang,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('es')} AS s_es,
+               regexp_matches(text, '[一-鿿]') AS has_cjk
+        FROM documents)
+    SELECT doc_id, true_lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic (deterministic argmax with a
+    fixed tie-break order; CJK codepoints short-circuit to zh).
+
+    The fixture's text is English-like word salad so the interesting
+    property is determinism + oracle parity, not accuracy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = F.split("text", " ")
+
+    def score(lang: str):
+        return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+
+    s = {lang: score(lang) for lang in LANG_MARKERS}
+    has_cjk = F.col("text").rlike("[一-鿿]")
+    pred = (
+        F.when(has_cjk, "zh")
+        .when((s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]), "en")
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]), "fr")
+        .when(s["de"] >= s["es"], "de")
+        .otherwise("es")
+    )
+    return docs.select("doc_id", F.col("lang").alias("true_lang"), pred.alias("predicted_lang"))
+
+
+@register("text_fingerprint")  # rows-only: engine-specific hash (xxhash64)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min/max xxhash64 over
+    character 8-grams (winnowing-style min-sketch, k=4 smallest).
+
+    Deterministic across runs and partitionings; used for cheap
+    containment/near-dup pre-screening at scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = char_ngrams(F.col("text"), 8)
+    hashes = F.array_sort(F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))))
+    return docs.select(
+        "doc_id",
+        F.element_at(hashes, 1).alias("min_gram_hash"),
+        F.element_at(hashes, -1).alias("max_gram_hash"),
+        F.slice(hashes, 1, 4).alias("min_sketch"),
+        F.size(hashes).alias("n_distinct_grams"),
+    ).orderBy("doc_id")

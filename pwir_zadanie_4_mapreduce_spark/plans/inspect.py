@@ -1,0 +1,37 @@
+"""Physical-plan assertions over `df.explain("formatted")` output."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if any scan in the plan carries a non-empty PushedFilters."""
+    plan = explain_str(df)
+    return bool(re.search(r"PushedFilters: \[(?!\])", plan))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    plan = explain_str(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each parquet scan (pruning check)."""
+    plan = explain_str(df)
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out

@@ -1,0 +1,14 @@
+"""Structured Streaming variants of the event-time operators.
+
+The batch queries in operators/relational.py (events_tumbling_hourly,
+events_sliding_1h_30m, events_sessionization) have identical semantics
+on a static table; these jobs run the same logic through readStream →
+writeStream so the engine demonstrably supports the streaming
+execution mode (watermarks, windowed state, session windows).
+"""
+
+from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (  # noqa: F401
+    run_sessionization_stream,
+    run_sliding_stream,
+    run_tumbling_stream,
+)

@@ -1,0 +1,40 @@
+"""Shared fixtures: one SparkSession per test run, DuckDB connection
+with the fixture tables pre-registered (mirroring the driver)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SMOKE_SF = "/root/testdata/sf0.001"
+CORRECTNESS_SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pwir_zadanie_4_mapreduce_spark.session import build_session
+
+    spark = build_session(cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SMOKE_SF}/{name}.parquet'"
+        )
+    yield con
+    con.close()
