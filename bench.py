@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a noop write (no driver collect, no
+sink I/O) so the number is the engine's execution time. One warm-up
+query amortizes JVM/codegen startup out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# the headline set: every operator family, scale-meaningful plans only
+# (dedup_embedding_cosine is all-pairs-exact by contract — its scale
+# path is dedup_minhash_lsh / sim_topk_ivf, which ARE in the set)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_range_ship_delay",
+    "agg_rollup_flags",
+    "window_top3_orders_per_customer",
+    "events_sessionization",
+    "pivot_event_counts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "text_quality_score",
+    "multimodal_decode_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pwir_zadanie_4_mapreduce_spark.session import build_session
+
+    spark = build_session(
+        app_name="bench",
+        cpus=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: JVM, codegen, parquet footer caches
+    materialize(queries["q1_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
