@@ -7,6 +7,7 @@ filters reached the parquet scan, dims broadcast, codegen fused.
 from pwir_zadanie_4_mapreduce_spark.plans.inspect import (  # noqa: F401
     explain_str,
     has_broadcast_join,
+    has_codegen,
     has_pushed_filters,
     read_schema_columns,
 )

@@ -27,6 +27,19 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def has_codegen(df: DataFrame) -> bool:
+    """True if any operator runs inside whole-stage codegen.
+
+    `explain("formatted")` marks codegen operators with a leading `*`
+    (e.g. `* HashAggregate (4)`); the literal `WholeStageCodegen`
+    string only appears in `"simple"` mode pre-AQE-finalization.
+    """
+    plan = explain_str(df)
+    if "WholeStageCodegen" in plan:
+        return True
+    return bool(re.search(r"^\s*(?:[+:]-\s*)?\* \w", plan, re.MULTILINE))
+
+
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column lists actually read by each parquet scan (pruning check)."""
     plan = explain_str(df)

@@ -1,0 +1,58 @@
+"""Dedup operator properties beyond the oracle comparison:
+LSH recall vs the exact methods, signature determinism, idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pwir_zadanie_4_mapreduce_spark.operators import dedup
+from tests.conftest import SMOKE_SF
+
+
+def _pairs(df):
+    return {(r[0], r[1]) for r in df.select("doc_a", "doc_b").collect()}
+
+
+def test_exact_dedup_idempotent(spark):
+    once = dedup.dedup_exact(spark, SMOKE_SF)
+    # dedup of an already-deduped corpus changes nothing
+    assert once.count() == once.select("text").distinct().count()
+    assert once.filter(F.col("n_copies") < 1).count() == 0
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    exact = _pairs(dedup.dedup_ngram_jaccard(spark, SMOKE_SF))
+    lsh = _pairs(dedup.dedup_minhash_lsh(spark, SMOKE_SF))
+    assert exact, "fixture should contain planted near-dup pairs"
+    # LSH output is verified-exact, so precision is 1.0 by construction
+    assert lsh <= exact
+    # 16 bands × 2 rows at j >= 0.5: expected recall ≈ 99%
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.85, f"recall {recall:.2f} ({len(lsh)}/{len(exact)})"
+
+
+def test_minhash_signature_deterministic(spark):
+    a = dedup.dedup_minhash_lsh(spark, SMOKE_SF).collect()
+    b = dedup.dedup_minhash_lsh(spark, SMOKE_SF).collect()
+    assert a == b
+
+
+def test_simhash_finds_planted_dups(spark):
+    # the fixture's exact near-dups (3-shingle jaccard >= 0.5) are
+    # token-overlapping enough that close pairs exist; simhash must at
+    # least produce a deterministic, symmetric-free pair list
+    pairs = dedup.dedup_simhash(spark, SMOKE_SF).collect()
+    seen = set()
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+        assert r["hamming_dist"] <= 3
+    again = dedup.dedup_simhash(spark, SMOKE_SF).collect()
+    assert pairs == again
+
+
+def test_embedding_cosine_threshold(spark):
+    rows = dedup.dedup_embedding_cosine(spark, SMOKE_SF).collect()
+    assert all(r["cosine"] >= dedup.COSINE_DUP_THRESHOLD - 1e-4 for r in rows)
+    assert all(r["vec_a"] < r["vec_b"] for r in rows)

@@ -1,0 +1,42 @@
+"""Streaming ≡ batch: the structured-streaming jobs must produce the
+same results as their batch counterparts on the static fixture."""
+
+from __future__ import annotations
+
+from pwir_zadanie_4_mapreduce_spark.operators.relational import (
+    events_sliding_1h_30m,
+    events_tumbling_hourly,
+)
+from pwir_zadanie_4_mapreduce_spark.streaming import (
+    run_sessionization_stream,
+    run_sliding_stream,
+    run_tumbling_stream,
+)
+from tests.conftest import SMOKE_SF
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark):
+    batch = events_tumbling_hourly(spark, SMOKE_SF)
+    stream = run_tumbling_stream(spark, SMOKE_SF)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_sliding_stream_equals_batch(spark):
+    batch = events_sliding_1h_30m(spark, SMOKE_SF)
+    stream = run_sliding_stream(spark, SMOKE_SF)
+    cols = ["window_start", "n_events"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_session_stream_total_events(spark):
+    """session_window totals must cover every event exactly once."""
+    stream = run_sessionization_stream(spark, SMOKE_SF)
+    total = sum(r["n_events"] for r in stream.collect())
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+
+    assert total == load_table(spark, SMOKE_SF, "events").count()
