@@ -1,0 +1,521 @@
+"""Advanced relational surface: subqueries, as-of join, grouping sets,
+exact percentiles, distribution windows, skew-salted join, generated
+source, array unnest, row-wise UDF.
+
+These extend SURVEY.md §2.2 beyond the first 53 queries. Same design
+rules as operators/relational.py: declarative DataFrame plans so
+Catalyst keeps pushdown/pruning/broadcast, every computed column
+aliased identically to the DuckDB oracle, doubles rounded via dround.
+
+Scale notes (100 TB) are on each operator; the salted-join and as-of
+operators are the explicit "what breaks at 1000 executors" answers:
+hot keys and point-in-time joins are the two classic large-pipeline
+shuffle pathologies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
+from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+
+
+def _r4(c: Column) -> Column:
+    return dround(c, 4)
+
+
+# ---------------------------------------------------------------------------
+# generated source (reference O1 generalized: data-as-a-function)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_range_generated",
+    oracle="""
+    SELECT i,
+           ROUND(SUM(v), 4)  AS row_sum,
+           COUNT(*)          AS n
+    FROM (
+      SELECT CAST(r.range // 16 AS INTEGER) AS i,
+             CAST(r.range % 16 AS INTEGER) AS j,
+             CAST(CASE WHEN r.range // 16 = 0 THEN 4.56
+                       WHEN r.range // 16 = 15 THEN 9.85
+                       WHEN r.range % 16 = 0 THEN 7.32
+                       WHEN r.range % 16 = 15 THEN 6.88
+                       ELSE 0.0 END AS DOUBLE) AS v
+      FROM range(256) r
+    )
+    GROUP BY i ORDER BY i
+    """,
+)
+def source_range_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated source: the reference's data-as-a-function input
+    (getInitialValue, laplace-common-impl.h:11-33) as a spark.range
+    pipeline — no file scan, rows materialize on executors.
+
+    100 TB note: spark.range is the canonical embarrassingly-parallel
+    source; numSlices controls parallelism with zero shuffle."""
+    n = 16
+    ij = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("i"),
+        (F.col("id") % n).cast("int").alias("j"),
+    )
+    v = (
+        F.when(F.col("i") == 0, 4.56)
+        .when(F.col("i") == n - 1, 9.85)
+        .when(F.col("j") == 0, 7.32)
+        .when(F.col("j") == n - 1, 6.88)
+        .otherwise(0.0)
+    )
+    return (
+        ij.withColumn("v", v)
+        .groupBy("i")
+        .agg(_r4(F.sum("v")).alias("row_sum"), F.count("*").alias("n"))
+        .orderBy("i")
+    )
+
+
+# ---------------------------------------------------------------------------
+# subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_scalar_small_qty",
+    oracle="""
+    SELECT l.l_partkey AS l_partkey,
+           ROUND(SUM(l.l_extendedprice), 4) AS small_qty_revenue
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < 0.5 * a.avg_qty
+    GROUP BY l.l_partkey
+    ORDER BY small_qty_revenue DESC, l.l_partkey
+    LIMIT 100
+    """,
+)
+def subquery_scalar_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below
+    half their part's average quantity.
+
+    Spark plan: the per-part average is a separate agg joined back —
+    the de-correlated form Catalyst itself rewrites scalar subqueries
+    into. The agg output is small (one row per part) → broadcast.
+
+    100 TB note: de-correlation turns O(rows²) correlated evaluation
+    into one partial+final agg plus one broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(_r4(F.sum("l_extendedprice")).alias("small_qty_revenue"))
+        .orderBy(F.desc("small_qty_revenue"), "l_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "subquery_exists_recent_buyers",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_totalprice > 100000
+    )
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def subquery_exists_recent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS as a left-semi join (the plan Catalyst
+    produces for EXISTS): customers with a recent large order.
+
+    100 TB note: semi-join shuffles only the distinct keys of the
+    filtered orders side — never materializes the match rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_totalprice") > 100000)
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "subquery_in_top_nations",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_nationkey IN (
+      SELECT n.n_nationkey FROM nation n JOIN region r
+        ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name IN ('ASIA', 'EUROPE')
+    )
+    ORDER BY s.s_acctbal DESC, s.s_name
+    LIMIT 50
+    """,
+)
+def subquery_in_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery as semi-join against a broadcast dim chain."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    keys = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey"
+    )
+    return (
+        sup.join(F.broadcast(keys), sup.s_nationkey == keys.n_nationkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), "s_name")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (point-in-time): the classic operator Spark lacks natively
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_last_event_before_order",
+    oracle="""
+    SELECT o.o_orderkey,
+           e.event_id AS last_event_id,
+           e.ts       AS last_event_ts
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    WHERE o.o_custkey <= 200
+    ORDER BY o.o_orderkey
+    """,
+)
+def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: for each order, the latest event of
+    the same user at-or-before the order date. Composed from existing
+    ops (SURVEY brief: composition first, Pandas UDF only if needed):
+    union both sides tagged, one window sort per key carries the most
+    recent event forward, then keep the order rows.
+
+    100 TB note: this is ONE shuffle on (key, ts) — the naive
+    range-join + groupBy-max double-shuffles and explodes matches
+    (every earlier event per order) before collapsing them. The
+    union-window form never materializes the cross product; skew on a
+    hot user is bounded by that user's own rows.
+
+    Ties: events at exactly the order timestamp count (<=), matching
+    DuckDB ASOF with <=; within the union, side=0 (event) sorts before
+    side=1 (order) at equal ts so last_value sees the tying event."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    events = load_table(spark, sf_dir, "events")
+
+    left = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("side"),
+        F.col("o_orderkey"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    right = events.select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "last_event_id", F.last("event_id", ignorenulls=True).over(w)
+    ).withColumn("last_event_ts", F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w))
+    return (
+        merged.filter(F.col("side") == 1)
+        .select("o_orderkey", "last_event_id", "last_event_ts")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / percentiles / distribution windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 4) AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status,
+    per-priority, and grand-total in one pass.
+
+    100 TB note: one scan expands to the three groupings map-side
+    (Expand operator) — 3× shuffle rows but 1× input read, always
+    cheaper than three separate jobs over the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(_r4(F.sum("o_totalprice")).alias("total"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
+@register(
+    "agg_percentiles_price",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile`
+    ≡ DuckDB `quantile_cont`).
+
+    100 TB note: exact percentiles buffer each group's values — fine
+    for bounded groups; the unbounded-cardinality path is
+    approx_percentile (t-digest, fixed memory), declared rows-only."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            _r4(F.percentile("o_totalprice", F.lit(0.5))).alias("p50"),
+            _r4(F.percentile("o_totalprice", F.lit(0.9))).alias("p90"),
+            _r4(F.percentile("o_totalprice", F.lit(0.99))).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 4) AS cume
+    FROM orders
+    WHERE o_totalprice > 400000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, quartile, o_orderkey
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+
+    Tie-broken by o_orderkey so ranks are deterministic cross-engine."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            _r4(F.percent_rank().over(w)).alias("pct_rank"),
+            _r4(F.cume_dist().over(w)).alias("cume"),
+        )
+        .orderBy("o_orderpriority", "quartile", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew-salted join (the 100 TB hot-key answer, verified vs the plain join)
+# ---------------------------------------------------------------------------
+
+_SALT = 8
+
+
+@register(
+    "join_salted_order_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join, result identical to the plain join.
+
+    The fact side gets a random-free deterministic salt (orderkey %
+    SALT folded into the key); the dim side explodes each row into
+    SALT replicas. A hot l_orderkey now spreads over SALT reducers.
+
+    100 TB note: this is the manual form of AQE skew-join splitting —
+    kept explicit so the technique is testable and the cost visible
+    (dim side inflates SALT×, so salt only the keys that need it in
+    production; here the whole key space is salted for determinism)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+
+    salted_li = li.withColumn("salt", (F.col("l_orderkey") % _SALT).cast("int"))
+    salted_orders = orders.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(_SALT)]))
+    )
+    joined = salted_li.join(
+        salted_orders,
+        (salted_li.l_orderkey == salted_orders.o_orderkey)
+        & (salted_li.salt == salted_orders.salt),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18-style group-by-having join; union distinct; unnest; row-wise UDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "having_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           ROUND(SUM(l.l_quantity), 4) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    HAVING SUM(l.l_quantity) > 150
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by + HAVING over a join (TPC-H Q18 shape): orders whose
+    line quantities sum past a threshold.
+
+    100 TB note: the quantity agg runs on lineitem alone FIRST
+    (partial agg before the join), then joins orders — aggregating
+    pre-join keeps the shuffle at one row per orderkey."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    qty = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 150)
+    )
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+        .select("o_orderkey", "o_totalprice", _r4(F.col("raw_qty")).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "setop_union_distinct_keys",
+    oracle="""
+    SELECT k FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000
+      UNION
+      SELECT user_id AS k FROM events WHERE event_type = 'purchase'
+    ) ORDER BY k
+    """,
+)
+def setop_union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) across heterogeneous sources."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("k"))
+    )
+    return orders.unionByName(ev).distinct().orderBy("k")
+
+
+@register(
+    "array_posexplode_embeddings",
+    oracle="""
+    SELECT e.vec_id AS vec_id,
+           CAST(t.range AS INTEGER) AS dim,
+           ROUND(CAST(e.embedding[CAST(t.range + 1 AS INTEGER)] AS DOUBLE), 4) AS val
+    FROM embeddings e CROSS JOIN range(4) t
+    WHERE e.vec_id < 20
+    ORDER BY vec_id, dim
+    """,
+)
+def array_posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UNNEST WITH ORDINALITY): first 4 dims of each of
+    the first 20 vectors, long form.
+
+    100 TB note: explode multiplies row count by array length — slice
+    BEFORE exploding so only the needed prefix is generated."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return (
+        emb.select("vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("dim", "raw_val"))
+        .select("vec_id", "dim", _r4(F.col("raw_val").cast("double")).alias("val"))
+        .orderBy("vec_id", "dim")
+    )
+
+
+@register(
+    "udf_python_rowwise_priority",
+    oracle="""
+    SELECT
+      CASE WHEN CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) <= 2
+           THEN 'expedite' ELSE 'routine' END AS bucket,
+      COUNT(*) AS n
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def udf_python_rowwise_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — declared as the SLOW path on
+    purpose (SURVEY §2.2 'UDF surface'): same logic is expressible
+    with built-ins; the UDF exists to exercise serialization plumbing.
+
+    100 TB note: per-row Python costs ~10-100× the built-in form —
+    the production spelling is the CASE expression in the oracle."""
+
+    @F.udf("string")
+    def bucket_priority(p: str) -> str:
+        return "expedite" if int(p.split("-")[0]) <= 2 else "routine"
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(bucket_priority("o_orderpriority").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
