@@ -101,33 +101,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is driven by shingle document-frequency, not docs².
     """
     sh = _shingled(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    a = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # postings carry (64-bit shingle hash, doc size): the join key is 8
+    # bytes instead of a ~20-byte string, and sizes ride along so no
+    # second join is needed. xxhash64 collisions across the distinct-
+    # shingle space (~1e6 at sf0.1) are ~1e-8 — below the oracle's
+    # float-rounding noise floor.
+    posting = sh.select(
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h"),
+    )
+    a = posting.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h"
+    )
+    b = posting.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h"
+    )
+    # size-ratio prune BEFORE the pair aggregation: J(A,B) <= min/max
+    # of the set sizes, so pairs with min < t·max can never pass and
+    # are dropped at the join row, not after the groupBy.
+    ratio_ok = F.least("n_a", "n_b") >= JACCARD_THRESHOLD * F.greatest("n_a", "n_b")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        a.join(b, "h")
+        .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        inter.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
     )
 
 
-def minhash_signature(sh_col, perms: int = MINHASH_PERMS):
-    """array<bigint> MinHash signature: perm p's hash of shingle s is
-    xxhash64(p, s); the signature element is the min over shingles."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(perms - 1)),
-        lambda p: F.array_min(F.transform(sh_col, lambda s: F.xxhash64(p, s))),
+def minhash_signature_agg(posting: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """MinHash signature as ONE hash aggregation over the exploded
+    shingle-hash posting list: perm p's value for a doc is
+    min(xxhash64(p, h)) over the doc's shingle hashes h.
+
+    Why not nested array lambdas (transform + array_min per perm)?
+    Higher-order functions re-evaluate their input expression per
+    element, and CollapseProject inlines the upstream shingling into
+    the lambda — measured 10-20× runtime blowup at sf0.1. The
+    aggregate form materializes each stage at a shuffle boundary,
+    gets map-side partial mins, and stays in whole-stage codegen.
+    """
+    return posting.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(p), F.col("h"))).alias(f"m{p}") for p in range(perms)]
     )
 
 
@@ -143,62 +163,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingled(spark, sf_dir)
     bands = MINHASH_PERMS // MINHASH_BAND_ROWS
-    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    posting = sh.select(
+        "doc_id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h")
+    )
+    sig = minhash_signature_agg(posting)
+    # band hashes are projections over the materialized agg columns
+    # (cheap attribute refs, no expression duplication); the band join
+    # ships ONLY (band key, doc_id) — keeping document payloads out of
+    # the bands×docs shuffle is the difference between shuffling ids
+    # and shuffling the corpus. Shingle sets are joined back
+    # afterwards, touching only the (few) candidate pairs.
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"m{b * MINHASH_BAND_ROWS + r}") for r in range(MINHASH_BAND_ROWS)]
+        )
+        for b in range(bands)
+    ]
     banded = sig.select(
-        "doc_id",
-        "sh",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    b, F.slice(F.col("sig"), b * MINHASH_BAND_ROWS + 1, MINHASH_BAND_ROWS)
-                ),
-            )
-        ).alias("band_id", "band_hash"),
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash")
     )
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band_id", "band_hash"
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band_id", "band_hash"
-    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
     candidates = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
-        candidates.filter(jac >= JACCARD_THRESHOLD)
+        verified.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
 
-def simhash64(tokens_col):
-    """64-bit SimHash over a token array: bit b is set iff the sum over
-    tokens of ±1 (per bit b of xxhash64(token)) is non-negative.
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 64-bit SimHash per document: bit b is set iff
+    the sum over token occurrences of ±1 (per bit b of the token's
+    xxhash64) is non-negative.
 
-    Bit positions are Python ints (shift amounts must be literals), so
-    this expands to 64 aggregate expressions over the pre-hashed token
-    array — all JVM-side, one xxhash64 per token shared by all bits."""
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    Computed as ONE hash aggregation over the exploded token-hash
+    posting list — 64 sum expressions share each row's hash and get
+    map-side partial aggregation. (The array-lambda form re-evaluates
+    tokenization per vote via CollapseProject + per-element
+    higher-order evaluation — same pathology as the MinHash
+    signature, see minhash_signature_agg.)
 
-    def vote(b: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
+    Token *occurrences* vote (not distinct tokens): frequency
+    weighting is standard SimHash. Documents with zero tokens get the
+    all-ones signature (every empty vote is >= 0), matching the
+    aggregate-over-empty-array semantics, via the left join + zero
+    fill."""
+    posting = docs.select(
+        "doc_id",
+        F.explode(F.transform(tokenize(F.col("text")), lambda t: F.xxhash64(t))).alias("h"),
+    )
+    votes = posting.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    votes = (
+        docs.select("doc_id")
+        .join(votes, "doc_id", "left")
+        .na.fill({f"v{b}": 0 for b in range(64)})
+    )
     sig = F.lit(0).cast("long")
     for b in range(64):
         bit_value = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-        sig = sig.bitwiseOR(F.when(vote(b) >= 0, bit_value).otherwise(F.lit(0).cast("long")))
-    return sig
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{b}") >= 0, bit_value).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 @register("dedup_simhash")  # rows-only: hash-function-specific
@@ -210,9 +254,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is exact for the distance bound — no probabilistic miss.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = docs.select(
-        "doc_id", simhash64(tokenize(F.col("text"))).alias("simhash")
-    )
+    sigs = simhash_signatures(docs)
     banded = sigs.select(
         "doc_id",
         "simhash",

@@ -48,30 +48,42 @@ def real_decode_unavailable(*_args, **_kwargs):  # pragma: no cover
     )
 
 
-def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-    """mapInPandas worker: per-Arrow-batch 'decode' of binary payloads."""
-    import pandas as pd
+def make_decode_batches():
+    """Build the mapInPandas worker for the fake decode.
 
-    for pdf in batches:
-        payloads = pdf["payload"]
-        widths, heights, frames, checksums = [], [], [], []
-        for p in payloads:
-            b = bytes(p)
-            w, h, f = decode_image_stub(b)
-            widths.append(w)
-            heights.append(h)
-            frames.append(f)
-            checksums.append(sum(b[:64]))  # cheap deterministic digest
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "byte_len": payloads.map(len).astype("int32"),
-                "fake_width": pd.Series(widths, dtype="int32"),
-                "fake_height": pd.Series(heights, dtype="int32"),
-                "n_frames": pd.Series(frames, dtype="int32"),
-                "checksum": pd.Series(checksums, dtype="int64"),
-            }
-        )
+    Returned as a CLOSURE (not a module-level function, and with no
+    references to module globals) so cloudpickle serializes it BY
+    VALUE: the driver's SparkSession may have been created from any
+    cwd, in which case Python workers cannot import this package and
+    by-reference pickling would fail with ModuleNotFoundError.
+    """
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            # vectorized form of decode_image_stub over the whole
+            # Arrow batch — the stub's features are pure functions of
+            # length, so the only per-element Python is the 64-byte
+            # checksum prefix. A real decoder would replace this block
+            # with a batched codec call (same output columns).
+            lens = payloads.map(len).astype("int64")
+            checksums = pd.Series(
+                [sum(bytes(p)[:64]) for p in payloads], index=pdf.index, dtype="int64"
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": lens.astype("int32"),
+                    "fake_width": (64 + lens % 640).astype("int32"),
+                    "fake_height": (64 + (lens * 7) % 480).astype("int32"),
+                    "n_frames": (1 + lens % 16).astype("int32"),
+                    "checksum": checksums,
+                }
+            )
+
+    return decode_batches
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -108,7 +120,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     media = with_binary_payload(docs)
-    feats = media.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+    feats = media.mapInPandas(make_decode_batches(), schema=DECODE_SCHEMA)
     return feats.select("doc_id", "byte_len", "fake_width", "fake_height", "n_frames")
 
 

@@ -23,6 +23,20 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_worker_importable() -> None:
+    """Python workers unpickle module-level functions (mapInPandas,
+    UDFs) by importing this package — which fails when the driver runs
+    from another cwd. Prepend the repo root to PYTHONPATH before the
+    JVM starts so local-mode workers inherit it; on a real cluster the
+    equivalent is shipping the package via --py-files / spark.submit.pyFiles."""
+    existing = os.environ.get("PYTHONPATH", "")
+    parts = existing.split(os.pathsep) if existing else []
+    if _REPO_ROOT not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([_REPO_ROOT, *parts])
+
 
 def build_session(
     app_name: str = "pwir-zadanie-4-mapreduce-spark",
@@ -30,6 +44,7 @@ def build_session(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or get) a SparkSession tuned for this engine."""
+    _ensure_worker_importable()
     cpus = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)
