@@ -29,6 +29,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "join_range_ship_delay",
+    "join_asof_last_event_before_order",
+    "join_salted_order_revenue",
+    "subquery_scalar_small_qty",
+    "agg_grouping_sets",
     "agg_rollup_flags",
     "window_top3_orders_per_customer",
     "events_sessionization",

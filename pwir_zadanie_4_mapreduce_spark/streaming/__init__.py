@@ -10,5 +10,6 @@ execution mode (watermarks, windowed state, session windows).
 from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (  # noqa: F401
     run_sessionization_stream,
     run_sliding_stream,
+    run_stateful_user_totals,
     run_tumbling_stream,
 )

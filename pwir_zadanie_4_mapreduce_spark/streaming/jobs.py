@@ -18,13 +18,37 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pwir_zadanie_4_mapreduce_spark.catalog import load_table, table_path
+from pwir_zadanie_4_mapreduce_spark.catalog import table_path
 from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    schema = load_table(spark, sf_dir, "events").schema
-    return spark.readStream.schema(schema).parquet(table_path(sf_dir, "events"))
+    """readStream over the events fixture.
+
+    Two fixture quirks, both handled here: (1) the file streaming
+    source requires a *directory* (each new file = one micro-batch),
+    but the fixture is a single parquet file — so it is linked into a
+    per-(sf,pid) temp dir once; (2) events.ts is parquet
+    TIMESTAMP(NANOS), which Spark 4 reads only as int64 under
+    nanosAsLong — stream with the raw schema and apply the same ns→µs
+    conversion as catalog.load_table.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = table_path(sf_dir, "events")
+    tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"pwir_events_stream_{tag}_{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    raw_schema = spark.read.parquet(src).schema  # ts stays int64 (nanosAsLong)
+    stream = spark.readStream.schema(raw_schema).parquet(d)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -64,6 +88,50 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     return _run_to_memory(agg, "complete")
+
+
+def run_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals carried in an explicit GroupState across
+    micro-batches (the arbitrary-state API the driver brief calls out;
+    the built-in windowed aggs above cover the declarative cases).
+
+    State is one (count, total_value) pair per user — O(users), not
+    O(events): the 100 TB streaming constraint is that state size
+    scales with keys, never with history. Emits the final per-user
+    totals; the test diffs them against the batch groupBy.
+    """
+    import pandas as pd
+
+    def update_totals(key, pdf_iter, state):
+        # closure, no module-global references: Python workers unpickle
+        # this by value (driver sessions may not have the repo on path)
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            count += int(len(pdf))
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "total_value": [round(total, 4)]}
+        )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="count bigint, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    # update-mode memory sink keeps every emitted row; the row with
+    # the highest n_events (strictly monotone per user) is the final
+    # state — struct-max keeps the matching total_value.
+    raw = _run_to_memory(out, "update")
+    latest = F.max(F.struct("n_events", "total_value")).alias("s")
+    return raw.groupBy("user_id").agg(latest).select(
+        "user_id", F.col("s.n_events").alias("n_events"),
+        F.col("s.total_value").alias("total_value"),
+    )
 
 
 def run_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,6 +33,31 @@ def test_sliding_stream_equals_batch(spark):
     assert _rows(batch, cols) == _rows(stream, cols)
 
 
+def test_stateful_user_totals_equals_batch(spark):
+    """applyInPandasWithState running totals must converge to the
+    batch per-user aggregate."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.streaming import run_stateful_user_totals
+    from pyspark.sql import functions as F2
+
+    stream = run_stateful_user_totals(spark, SMOKE_SF)
+    batch = (
+        load_table(spark, SMOKE_SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F2.count("*").alias("n_events"),
+            F2.round(F2.sum("value"), 4).alias("total_value"),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    srows = _rows(stream, cols)
+    brows = _rows(batch, cols)
+    assert len(srows) == len(brows)
+    for s, b in zip(srows, brows):
+        assert s[0] == b[0] and s[1] == b[1]
+        assert abs(s[2] - b[2]) < 1e-6, (s, b)
+
+
 def test_session_stream_total_events(spark):
     """session_window totals must cover every event exactly once."""
     stream = run_sessionization_stream(spark, SMOKE_SF)
