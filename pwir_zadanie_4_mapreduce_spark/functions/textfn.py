@@ -19,15 +19,22 @@ def tokenize(text: Column) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """n-word shingles (overlapping) as an array<string> of joined grams.
 
-    Built with transform over token indices — stays JVM-side. Documents
-    shorter than n words yield a single shingle of the whole text.
+    Built by zip_with-ing n shifted slices of the token array, all
+    JVM-side. NOT `transform(sequence(...), i -> slice(toks, ...))`:
+    a lambda body referencing the token array re-evaluates the whole
+    tokenization per element (O(len²) per document — see the MinHash
+    postmortem in operators/dedup.py). Each slice here evaluates the
+    token array once per row; zip_with's lambdas touch only elements.
+
+    Documents shorter than n words yield a single shingle of the whole
+    text (concat_ws skips the nulls zip_with pads with).
     """
     toks = tokenize(text)
     k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    acc = F.slice(toks, 1, k)
+    for i in range(1, n):
+        acc = F.zip_with(acc, F.slice(toks, i + 1, k), lambda a, b: F.concat_ws(" ", a, b))
+    return acc
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:

@@ -101,35 +101,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is driven by shingle document-frequency, not docs².
     """
     sh = _shingled(spark, sf_dir)
-    # postings carry (64-bit shingle hash, doc size): the join key is 8
-    # bytes instead of a ~20-byte string, and sizes ride along so no
-    # second join is needed. xxhash64 collisions across the distinct-
-    # shingle space (~1e6 at sf0.1) are ~1e-8 — below the oracle's
+    # Shingles are hashed to 64 bits: join keys are 8 bytes instead of
+    # ~20-byte strings. xxhash64 collisions across the distinct-shingle
+    # space (~1e6 at sf0.1) are ~1e-8 — below the oracle's
     # float-rounding noise floor.
-    posting = sh.select(
+    #
+    # PREFIX FILTER (AllPairs/PPJoin, exact): order every doc's shingle
+    # hashes by one global total order; if J(A,B) >= t, the two docs'
+    # prefixes of length n - ceil(t*n) + 1 must share an element. Only
+    # prefixes are indexed, cutting posting-join volume ~(1-t/(1+t))²
+    # while keeping recall exact. Candidates are then verified on the
+    # full sets.
+    hashed = sh.select(
         "doc_id",
-        F.size("sh").alias("n_sh"),
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h"),
+        F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"),
     )
-    a = posting.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h"
+    n_sh = F.size("hs")
+    prefix_len = n_sh - F.ceil(F.lit(JACCARD_THRESHOLD) * n_sh).cast("int") + 1
+    posting = hashed.select(
+        "doc_id",
+        n_sh.alias("n_sh"),
+        F.explode(F.slice("hs", 1, prefix_len)).alias("h"),
     )
-    b = posting.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h"
-    )
-    # size-ratio prune BEFORE the pair aggregation: J(A,B) <= min/max
-    # of the set sizes, so pairs with min < t·max can never pass and
-    # are dropped at the join row, not after the groupBy.
+    a = posting.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h")
+    b = posting.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h")
+    # size-ratio prune at the join row: J(A,B) <= min/max of set sizes
     ratio_ok = F.least("n_a", "n_b") >= JACCARD_THRESHOLD * F.greatest("n_a", "n_b")
-    inter = (
+    candidates = (
         a.join(b, "h")
         .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # verify exact Jaccard on the full (hashed) sets; sorted arrays
+    # make array_intersect a merge, and the hash sets equal the
+    # shingle sets up to the negligible collision probability above.
+    full_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    full_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = n_common.cast("double") / (F.size("hs_a") + F.size("hs_b") - n_common)
     return (
-        inter.filter(jac >= JACCARD_THRESHOLD)
+        candidates.join(full_a, "doc_a")
+        .join(full_b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
     )
 
