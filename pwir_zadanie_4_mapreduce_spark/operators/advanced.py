@@ -602,6 +602,67 @@ def array_posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_regexp_extract",
+    oracle="""
+    SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) AS src_num,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(regexp_extract(props_k, '(\\d+)', 1) AS DOUBLE)), 4) AS avg_k
+    FROM (
+      SELECT d.source, e.props AS props_k
+      FROM documents d JOIN events e ON d.doc_id % 100 = e.user_id % 100
+      WHERE e.event_id < 1000
+    )
+    GROUP BY src_num ORDER BY src_num
+    """,
+)
+def scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract over two columns (capture-group semantics shared
+    with DuckDB), on a deliberately key-mangled join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000).select(
+        "user_id", "props"
+    )
+    joined = docs.join(ev, docs.doc_id % 100 == ev.user_id % 100)
+    return (
+        joined.select(
+            F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("src_num"),
+            F.regexp_extract("props", r"(\d+)", 1).cast("double").alias("k_val"),
+        )
+        .groupBy("src_num")
+        .agg(F.count("*").alias("n_docs"), _r4(F.avg("k_val")).alias("avg_k"))
+        .orderBy("src_num")
+    )
+
+
+@register(
+    "agg_collect_sorted_list",
+    oracle="""
+    SELECT o_orderpriority,
+           list(o_orderkey ORDER BY o_orderkey) AS top_keys
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 5
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list into a deterministic (sorted) array per group —
+    collect_list order is partition-dependent, so sort_array makes the
+    result reproducible cross-run and cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    top = orders.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    return (
+        top.groupBy("o_orderpriority")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("top_keys"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "udf_python_rowwise_priority",
     oracle="""
     SELECT

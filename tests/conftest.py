@@ -18,9 +18,15 @@ CORRECTNESS_SF = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from pwir_zadanie_4_mapreduce_spark.session import build_session
 
-    spark = build_session(cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
+    warehouse = tempfile.mkdtemp(prefix="pwir_warehouse_")
+    spark = build_session(
+        cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")),
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
     spark.stop()
 
