@@ -91,53 +91,61 @@ def make_grid(spark: SparkSession, n: int, num_partitions: int | None = None) ->
     return df
 
 
-def _color_phase(grid: DataFrame, n: int, omega: float, color: int) -> DataFrame:
-    """One half-sweep over ``grid(i, j, v, diff)``.
+def _color_phase(
+    grid: DataFrame, n: int, omega: float, color: int, diff_col: str, carry: tuple[str, ...]
+) -> DataFrame:
+    """One half-sweep over ``grid(i, j, v, <carry...>, <diff_col>)``.
 
     Returns the full grid with updated values for interior cells of
-    ``color`` and ``diff`` accumulated (greatest of incoming diff and
-    this phase's per-cell delta) — so a sweep is two nested calls and
-    one max-agg, mirroring one MPI_Allreduce per sweep.
+    ``color`` and ``diff_col`` accumulated (greatest of incoming diff
+    and this phase's per-cell delta). ``carry`` columns (earlier
+    sweeps' diffs, when sweeps are chunked into one job) pass through
+    untouched — they ride the self rows and are null on scatter rows,
+    so max-agg reassembles them for free.
     """
-    interior_dst = lambda di, dj: (  # noqa: E731
-        (di > 0) & (di < n - 1) & (dj > 0) & (dj < n - 1)
-    )
-    src = grid.filter(((F.col("i") + F.col("j")) % 2) != color)
+    passthrough = (*carry, diff_col)
+    # Scatter as ONE explode, not a 5-way union: each row emits a
+    # message array — itself (role 0) plus, when it is the color being
+    # READ this phase, one message per interior neighbor that will
+    # consume it (roles 1-4). A union would reference the grid 5× per
+    # phase, which makes chained multi-sweep plans grow 5^(2k) and
+    # blows up analysis; the explode keeps one reference per phase
+    # (linear plans) and one scan instead of five.
+    is_src = ((F.col("i") + F.col("j")) % 2) != color
 
-    def contrib(di_expr, dj_expr, colname: str) -> DataFrame:
-        di, dj = di_expr(F.col("i")), dj_expr(F.col("j"))
-        return src.filter(interior_dst(di, dj)).select(
-            di.alias("i"),
-            dj.alias("j"),
-            F.lit(None).cast("double").alias("v"),
-            F.lit(None).cast("double").alias("diff"),
-            *[
-                (F.col("v") if c == colname else F.lit(None).cast("double")).alias(f"n_{c}")
-                for c in ("up", "down", "left", "right")
-            ],
+    def msg(di: int, dj: int, role: int):
+        ti, tj = F.col("i") + di, F.col("j") + dj
+        ok = is_src & (ti > 0) & (ti < n - 1) & (tj > 0) & (tj < n - 1)
+        return F.when(
+            ok, F.struct(ti.alias("ti"), tj.alias("tj"), F.lit(role).alias("role"))
         )
-
-    id_ = lambda c: c  # noqa: E731
-    self_rows = grid.select(
-        "i",
-        "j",
-        "v",
-        "diff",
-        *[F.lit(None).cast("double").alias(f"n_{c}") for c in ("up", "down", "left", "right")],
-    )
     # a cell at (si, sj) is the "up" neighbor (points[i-1][j]) of
     # (si+1, sj), the "down" neighbor of (si-1, sj), "left" of
     # (si, sj+1), "right" of (si, sj-1)  — laplace-seq.c:196
-    all_rows = (
-        self_rows.unionByName(contrib(lambda i: i + 1, id_, "up"))
-        .unionByName(contrib(lambda i: i - 1, id_, "down"))
-        .unionByName(contrib(id_, lambda j: j + 1, "left"))
-        .unionByName(contrib(id_, lambda j: j - 1, "right"))
+    msgs = F.filter(
+        F.array(
+            F.struct(F.col("i").alias("ti"), F.col("j").alias("tj"), F.lit(0).alias("role")),
+            msg(1, 0, 1),   # up contribution
+            msg(-1, 0, 2),  # down
+            msg(0, 1, 3),   # left
+            msg(0, -1, 4),  # right
+        ),
+        lambda x: x.isNotNull(),
     )
-    g = all_rows.groupBy("i", "j").agg(
-        F.max("v").alias("v"),
-        F.max("diff").alias("diff"),
-        *[F.max(f"n_{c}").alias(f"n_{c}") for c in ("up", "down", "left", "right")],
+    rows = grid.select("v", *passthrough, F.explode(msgs).alias("m"))
+
+    def role_val(role: int, col: str):
+        return F.max(F.when(F.col("m.role") == role, F.col(col)))
+
+    g = rows.groupBy(
+        F.col("m.ti").alias("i"), F.col("m.tj").alias("j")
+    ).agg(
+        role_val(0, "v").alias("v"),
+        *[role_val(0, c).alias(c) for c in passthrough],
+        role_val(1, "v").alias("n_up"),
+        role_val(2, "v").alias("n_down"),
+        role_val(3, "v").alias("n_left"),
+        role_val(4, "v").alias("n_right"),
     )
     # ((up + down) + left) + right, then /4 — laplace-seq.c:196
     tmp = ((F.col("n_up") + F.col("n_down")) + F.col("n_left")) + F.col("n_right")
@@ -147,10 +155,20 @@ def _color_phase(grid: DataFrame, n: int, omega: float, color: int) -> DataFrame
         "i",
         "j",
         F.when(is_target, new_v).otherwise(F.col("v")).alias("v"),
-        F.when(is_target, F.greatest(F.col("diff"), F.abs(F.col("v") - new_v)))
-        .otherwise(F.col("diff"))
-        .alias("diff"),
+        *[F.col(c) for c in carry],
+        F.when(is_target, F.greatest(F.col(diff_col), F.abs(F.col("v") - new_v)))
+        .otherwise(F.col(diff_col))
+        .alias(diff_col),
     )
+
+
+def _sweep(grid: DataFrame, n: int, omega: float, diff_col: str, carry: tuple[str, ...]) -> DataFrame:
+    """One full sweep (both colors), accumulating into ``diff_col``
+    (reset to 0 at sweep start, exactly like maxDiff in
+    laplace-seq.c:186); color 1 reads color 0's new values (O10)."""
+    g = grid.withColumn(diff_col, F.lit(0.0))
+    g = _color_phase(g, n, omega, 0, diff_col, carry)
+    return _color_phase(g, n, omega, 1, diff_col, carry)
 
 
 @dataclass
@@ -168,34 +186,76 @@ def solve(
     n: int,
     num_partitions: int | None = None,
     max_iterations: int | None = None,
+    sweeps_per_job: int = 8,
 ) -> LaplaceResult:
     """Run SOR to convergence (the do-while of laplace-seq.c:184-209).
 
-    One Spark action per sweep (the max-reduce) — exactly one
-    Allreduce per sweep like laplace-par.c:504, not per color phase.
+    Driver-synchronization amortization: ``sweeps_per_job`` sweeps are
+    chained into ONE job (each with its own diff_s column riding
+    along), then a single action materializes the chunk and a trivial
+    scan of the cached result reads all per-sweep maxima — one driver
+    round-trip per chunk instead of per sweep. The C program stops
+    after the first converged sweep, so when convergence lands
+    mid-chunk the tail is recomputed from the chunk-start checkpoint
+    for exactly that many sweeps — iteration count, final diff, and
+    the grid state match the reference bit-for-bit. (With
+    sweeps_per_job=1 this degenerates to the one-Allreduce-per-sweep
+    loop of laplace-par.c:504.)
     """
     if n < 2:
         raise ValueError("numPointsPerDimension must be >= 2 (laplace-seq.c:155-161)")
     omega = get_omega(n)
     epsilon = get_epsilon(n)
-    grid = make_grid(spark, n, num_partitions).localCheckpoint()
-    num_iterations = 0
-    max_diff = float("inf")
-    t0 = time.monotonic()
-    while max_diff > epsilon:
-        if max_iterations is not None and num_iterations >= max_iterations:
-            break
-        swept = _color_phase(
-            _color_phase(grid.withColumn("diff", F.lit(0.0)), n, omega, 0),
-            n,
-            omega,
-            1,
-        ).localCheckpoint()
-        max_diff = swept.agg(F.max("diff")).first()[0]
-        grid = swept.drop("diff")
-        num_iterations += 1
-    duration = time.monotonic() - t0
-    return LaplaceResult(grid, num_iterations, max_diff, omega, epsilon, duration)
+    # scale the per-sweep shuffle width to the grid: thousands of
+    # sweeps over a tiny grid must not pay 32 near-empty reducers each
+    # (at cluster scale the session default wins the min()).
+    conf_key = "spark.sql.shuffle.partitions"
+    saved_partitions = spark.conf.get(conf_key)
+    fitted = max(2, min(int(saved_partitions), (n * n) // 2048 + 1))
+    spark.conf.set(conf_key, str(fitted))
+    try:
+        chunk_start = make_grid(spark, n, num_partitions).localCheckpoint()
+        num_iterations = 0
+        final_diff = float("inf")
+        t0 = time.monotonic()
+        done = False
+        while not done:
+            k = sweeps_per_job
+            if max_iterations is not None:
+                k = min(k, max_iterations - num_iterations)
+                if k <= 0:
+                    break
+            g = chunk_start
+            diff_cols: list[str] = []
+            for s in range(k):
+                g = _sweep(g, n, omega, f"d{s}", tuple(diff_cols))
+                diff_cols.append(f"d{s}")
+            chunk_end = g.localCheckpoint()  # ONE job for k sweeps
+            maxes = chunk_end.agg(*[F.max(c).alias(c) for c in diff_cols]).first()
+            converged_at = next((s for s in range(k) if maxes[s] <= epsilon), None)
+            if converged_at is None:
+                chunk_start = chunk_end.drop(*diff_cols)
+                num_iterations += k
+                final_diff = maxes[k - 1]
+            elif converged_at == k - 1:
+                chunk_start = chunk_end.drop(*diff_cols)
+                num_iterations += k
+                final_diff = maxes[converged_at]
+                done = True
+            else:
+                # converged mid-chunk: redo exactly converged_at+1
+                # sweeps from the chunk start (still materialized)
+                g = chunk_start
+                for s in range(converged_at + 1):
+                    g = _sweep(g, n, omega, f"d{s}", tuple(f"d{r}" for r in range(s)))
+                chunk_start = g.drop(*[f"d{s}" for s in range(converged_at + 1)]).localCheckpoint()
+                num_iterations += converged_at + 1
+                final_diff = maxes[converged_at]
+                done = True
+        duration = time.monotonic() - t0
+    finally:
+        spark.conf.set(conf_key, saved_partitions)
+    return LaplaceResult(chunk_start, num_iterations, final_diff, omega, epsilon, duration)
 
 
 def format_grid(result: LaplaceResult, n: int) -> str:
