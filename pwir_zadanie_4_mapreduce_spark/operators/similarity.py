@@ -155,6 +155,71 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_HYPERPLANES = 8
+N_PROBE_BITS = 2  # probe all buckets within this Hamming distance
+
+
+def rp_lsh_signatures(e: DataFrame) -> DataFrame:
+    """(vec_id, label, v, nrm, sig): random-hyperplane LSH signature.
+
+    Hyperplane p's component for dimension d is a deterministic
+    pseudo-random value in [-1, 1] derived from xxhash64(p, d) — no
+    RNG state, so signatures are reproducible across runs/executors.
+    Computed via posexplode + ONE groupBy with a sum per hyperplane
+    (the aggregation form — see the MinHash note in operators/dedup.py
+    for why not nested array lambdas).
+    """
+    comps = e.select("vec_id", F.posexplode("v").alias("d", "x"))
+
+    def h(p: int):
+        return ((F.xxhash64(F.lit(p), F.col("d")) % 1001) / F.lit(1000.0)).cast("double")
+
+    dots = comps.groupBy("vec_id").agg(
+        *[F.sum(F.col("x") * h(p)).alias(f"s{p}") for p in range(N_HYPERPLANES)]
+    )
+    sig = F.lit(0).cast("int")
+    for p in range(N_HYPERPLANES):
+        sig = sig + F.when(F.col(f"s{p}") >= 0, F.lit(1 << p)).otherwise(0)
+    return e.join(dots.select("vec_id", sig.alias("sig")), "vec_id")
+
+
+@register("sim_topk_rp_lsh")  # rows-only: approximate (recall tested vs brute force)
+def sim_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) LSH top-k: the corpus is
+    bucketed by an 8-bit sign signature; the query multi-probes every
+    bucket within Hamming distance 2 (37 of 256 buckets ≈ 14% of the
+    corpus), then exact cosine ranks the probed subset.
+
+    100 TB: corpus written partitioned by sig → probing is partition
+    pruning at the scan; signature computation is one aggregation
+    pass. Recall comes from multi-probe (cosine-close vectors agree
+    on most signs, so neighbors concentrate at low Hamming distance).
+    """
+    e = rp_lsh_signatures(_prepped(spark, sf_dir))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"), F.col("sig").alias("qsig")
+    )
+    # all signatures within Hamming distance N_PROBE_BITS of the query
+    masks = [0] + [
+        m
+        for m in range(1, 1 << N_HYPERPLANES)
+        if bin(m).count("1") <= N_PROBE_BITS
+    ]
+    probes = (
+        q.select("qv", "qn", "qsig", F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"))
+        .select("qv", "qn", F.col("qsig").bitwiseXOR(F.col("mask")).alias("sig"))
+    )
+    cos = _cosine(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qn"))
+    return (
+        e.join(F.broadcast(probes), "sig")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", dround("cosine", 4).alias("cosine"))
+    )
+
+
 @register(
     "sim_label_centroid_distance",
     oracle="""

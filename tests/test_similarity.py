@@ -29,6 +29,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert ivf == again
 
 
+def test_rp_lsh_recall_and_probe_fraction(spark):
+    brute = {r["vec_id"] for r in similarity.sim_topk_bruteforce(spark, SMOKE_SF).collect()}
+    lsh = {r["vec_id"] for r in similarity.sim_topk_rp_lsh(spark, SMOKE_SF).collect()}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.2, f"rp-lsh recall {recall}"
+    # determinism (hash-derived hyperplanes, no RNG)
+    again = {r["vec_id"] for r in similarity.sim_topk_rp_lsh(spark, SMOKE_SF).collect()}
+    assert lsh == again
+    # the probe set must actually bound work: <= ~C(8,<=2)/256 of the
+    # corpus (+ slack for uneven buckets)
+    e = similarity.rp_lsh_signatures(similarity._prepped(spark, SMOKE_SF))
+    total = e.count()
+    qsig = e.filter(F.col("vec_id") == similarity.QUERY_VEC_ID).first()["sig"]
+    masks = [0] + [
+        m
+        for m in range(1, 1 << similarity.N_HYPERPLANES)
+        if bin(m).count("1") <= similarity.N_PROBE_BITS
+    ]
+    probed_sigs = {qsig ^ m for m in masks}
+    probed = e.filter(F.col("sig").isin(*probed_sigs)).count()
+    assert probed / total < 0.6, f"probed {probed}/{total}"
+
+
 def test_centroid_assignment_total(spark):
     e = similarity._prepped(spark, SMOKE_SF)
     centroids = (
