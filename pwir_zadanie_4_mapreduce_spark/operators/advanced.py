@@ -349,6 +349,91 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_api_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point (SURVEY.md §7.6: no parser of our
+    own — spark.sql over registered views IS the SQL API). Identical
+    text runs on both engines; Catalyst still broadcasts the dims."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(c, n) */ n.n_name AS n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS raw_revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY raw_revenue DESC, n_name
+        """
+    ).select("n_name", dround(F.col("raw_revenue"), 4).alias("revenue"))
+
+
+@register("agg_approx_percentile")  # rows-only: t-digest approximation, engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the fixed-memory percentile for unbounded
+    group cardinality (the exact form buffers per-group values;
+    agg_percentiles_price is the oracle-checked exact counterpart)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "window_range_frame_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 4)
+             AS spend_30d
+    FROM orders WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (30-day trailing spend) — value-
+    based frames complement the ROWS frames elsewhere; peers at equal
+    order dates aggregate together, which ROWS cannot express."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                 AS raw_spend
+        FROM orders WHERE o_custkey <= 100
+        ORDER BY o_custkey, o_orderkey
+        """
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        dround(F.col("raw_spend"), 4).alias("spend_30d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # skew-salted join (the 100 TB hot-key answer, verified vs the plain join)
 # ---------------------------------------------------------------------------
