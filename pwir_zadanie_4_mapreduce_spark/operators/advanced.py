@@ -748,6 +748,39 @@ def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_map_functions",
+    oracle="""
+    SELECT user_id,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
+           COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS n_click,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed expression surface: per-user event counts assembled
+    into a map<string,bigint> (map_from_entries over the grouped
+    counts), then read back out with element_at. The map is an
+    intermediate — the output is scalar so the cross-engine hash is
+    type-stable (map iteration order differs between engines)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("counts")
+    )
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.element_at("counts", "purchase"), F.lit(0)).alias("n_purchase"),
+        F.coalesce(F.element_at("counts", "click"), F.lit(0)).alias("n_click"),
+        F.size("counts").alias("n_types"),
+    ).orderBy("user_id")
+
+
+@register(
     "udf_python_rowwise_priority",
     oracle="""
     SELECT

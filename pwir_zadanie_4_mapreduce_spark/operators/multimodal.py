@@ -124,6 +124,39 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "byte_len", "fake_width", "fake_height", "n_frames")
 
 
+@register(
+    "multimodal_resize_meta",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             64 + length(text) % 640       AS w,
+             64 + (length(text) * 7) % 480 AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+           CAST(CASE WHEN w >= h THEN 256 ELSE (256 * w) // h END AS INTEGER) AS dst_w,
+           CAST(CASE WHEN w >= h THEN (256 * h) // w ELSE 256 END AS INTEGER) AS dst_h
+    FROM f
+    """,
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: aspect-preserving fit into 256×256 computed
+    from decoded dimensions — pure metadata arithmetic, so the actual
+    pixel resample (codec work) is the only stubbed step. At 100 TB
+    the planner runs on metadata columns without touching payloads
+    (column pruning keeps the binary out of the scan)."""
+    feats = multimodal_decode_features(spark, sf_dir)
+    w, h = F.col("fake_width").cast("long"), F.col("fake_height").cast("long")
+    landscape = w >= h
+    return feats.select(
+        "doc_id",
+        F.col("fake_width").alias("src_w"),
+        F.col("fake_height").alias("src_h"),
+        F.when(landscape, F.lit(256)).otherwise((256 * w / h).cast("int")).cast("int").alias("dst_w"),
+        F.when(landscape, (256 * h / w).cast("int")).otherwise(F.lit(256)).cast("int").alias("dst_h"),
+    )
+
+
 @register("multimodal_frame_sample")  # rows-only: per-frame fan-out shape check
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plumbing: one row per sampled 'frame' (video-style

@@ -11,5 +11,6 @@ from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (  # noqa: F401
     run_sessionization_stream,
     run_sliding_stream,
     run_stateful_user_totals,
+    run_stream_static_join,
     run_tumbling_stream,
 )

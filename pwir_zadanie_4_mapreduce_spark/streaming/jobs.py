@@ -90,6 +90,24 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static customer table (micro-batch side lookup — no stream state,
+    the standard dimension-enrichment topology; at scale the static
+    side is broadcast per micro-batch)."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(cust, "user_id", "inner")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"), dround(F.sum("value"), 4).alias("total_value")
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def run_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running totals carried in an explicit GroupState across

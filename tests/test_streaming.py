@@ -58,6 +58,26 @@ def test_stateful_user_totals_equals_batch(spark):
         assert abs(s[2] - b[2]) < 1e-6, (s, b)
 
 
+def test_stream_static_join_equals_batch(spark):
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
+    from pwir_zadanie_4_mapreduce_spark.streaming import run_stream_static_join
+    from pyspark.sql import functions as F2
+
+    stream = run_stream_static_join(spark, SMOKE_SF)
+    ev = load_table(spark, SMOKE_SF, "events")
+    cust = load_table(spark, SMOKE_SF, "customer").select(
+        F2.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        ev.join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F2.count("*").alias("n_events"), dround(F2.sum("value"), 4).alias("total_value"))
+    )
+    cols = ["c_mktsegment", "n_events", "total_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_session_stream_total_events(spark):
     """session_window totals must cover every event exactly once."""
     stream = run_sessionization_stream(spark, SMOKE_SF)
