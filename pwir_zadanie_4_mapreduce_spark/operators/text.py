@@ -178,6 +178,40 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.col("lang").alias("true_lang"), pred.alias("predicted_lang"))
 
 
+@register(
+    "text_bpe_ish_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+             AS n_subword_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_number_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 1),
+                 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (driver brief): alpha runs, digit
+    runs, and single punctuation as separate tokens — the cheap proxy
+    for subword token budgets (chars/token ≈ compression ratio) used
+    to cost training corpora before running a real tokenizer."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    subword = F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    numbers = F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)
+    n_sub = F.size(subword)
+    return docs.select(
+        "doc_id",
+        n_sub.alias("n_subword_tokens"),
+        F.size(numbers).alias("n_number_tokens"),
+        F.length("text").alias("n_chars"),
+        dround(
+            F.length("text").cast("double") / F.greatest(n_sub, F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
 @register("text_fingerprint")  # rows-only: engine-specific hash (xxhash64)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min/max xxhash64 over
