@@ -112,10 +112,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefixes are indexed, cutting posting-join volume ~(1-t/(1+t))²
     # while keeping recall exact. Candidates are then verified on the
     # full sets.
+    # lazy checkpoint: the hashed-shingle frame feeds the posting
+    # index AND both verification sides — without it the shingling
+    # recomputes per branch (~2× query time measured at sf0.1). At
+    # 100 TB the equivalent is staging this frame to a table, not
+    # caching it in memory.
     hashed = sh.select(
         "doc_id",
         F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"),
-    )
+    ).localCheckpoint(eager=False)
     n_sh = F.size("hs")
     prefix_len = n_sh - F.ceil(F.lit(JACCARD_THRESHOLD) * n_sh).cast("int") + 1
     posting = hashed.select(
@@ -175,7 +180,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only candidate pairs; signatures bound shuffle width regardless of
     document size. P(miss | j=0.5) = (1 - 0.25)^16 ≈ 1%.
     """
-    sh = _shingled(spark, sf_dir)
+    # lazy checkpoint: sh feeds the signature posting AND both
+    # verification joins (see the staging note in dedup_ngram_jaccard)
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
     bands = MINHASH_PERMS // MINHASH_BAND_ROWS
     posting = sh.select(
         "doc_id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h")
