@@ -350,6 +350,29 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name < b.r_name
+    ORDER BY region_a, region_b
+    """,
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (unordered region pairs). Safe ONLY because
+    both sides are bounded dims — the one join type that must never
+    touch a fact table at scale."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    a = r.select(F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_name").alias("region_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("region_a") < F.col("region_b"))
+        .orderBy("region_a", "region_b")
+    )
+
+
+@register(
     "sql_api_revenue_by_nation",
     oracle="""
     SELECT n.n_name AS n_name,
