@@ -238,7 +238,10 @@ def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataF
     )
     w = (
         Window.partitionBy("key")
-        .orderBy("ts", "side")
+        # event_id as final tie-break keeps the pick deterministic if
+        # a user ever has two events at the same timestamp (none in
+        # the fixtures, but determinism must not be data-dependent)
+        .orderBy("ts", "side", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = left.unionByName(right).withColumn(
