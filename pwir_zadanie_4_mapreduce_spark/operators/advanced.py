@@ -774,6 +774,38 @@ def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_from_json_struct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-ful JSON parsing: from_json into a typed struct, then
+    aggregate the field (the production spelling when the schema is
+    known — one parse, typed columns; get_json_object re-parses per
+    path and returns strings). 100 TB: parse once in the scan
+    projection, never per-expression."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k int").alias("p")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _r4(F.avg(F.col("p.k").cast("double"))).alias("avg_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "scalar_map_functions",
     oracle="""
     SELECT user_id,
