@@ -512,6 +512,135 @@ def join_salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an unbounded frame
+    (each customer's first, latest, and second order price on every
+    row). The frame must be explicit: the default frame stops at
+    CURRENT ROW, where last_value degenerates to the row itself."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "agg_corr_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4)                 AS sd_qty,
+           ROUND(var_samp(l_extendedprice), 4)               AS var_price,
+           ROUND(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 4)      AS covar_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates: stddev/variance/correlation/covariance
+    — single-pass partial+final (Welford-style merge), no extra scan
+    per statistic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+            _r4(F.var_samp("l_extendedprice")).alias("var_price"),
+            _r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+            _r4(F.covar_samp("l_quantity", "l_discount")).alias("covar_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "scalar_datetime_extras",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(dayofweek(o_orderdate) AS INTEGER)  AS dow,
+           CAST(quarter(o_orderdate) AS INTEGER)    AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+           o_orderdate + INTERVAL 90 DAY            AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS INTEGER)                         AS days_since_epoch_start
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+)
+def scalar_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function family beyond year/month/trunc: day-of-week,
+    quarter, ISO week, interval arithmetic, day difference.
+
+    DuckDB's dayofweek is 0=Sunday..6 while Spark's is 1=Sunday..7,
+    so Spark subtracts 1 to the shared convention."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, NULLIF(o_custkey % 7, 0) AS bucket
+               FROM orders WHERE o_orderkey < 200),
+         b AS (SELECT NULLIF(n_nationkey % 7, 0) AS bucket,
+                      COUNT(*) AS n_nations
+               FROM nation GROUP BY 1)
+    SELECT a.o_orderkey, a.bucket, b.n_nations
+    FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    ORDER BY a.o_orderkey
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    buckets match each other, unlike plain = which drops them — the
+    semantics gap that silently loses rows in key-nullable joins."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    a = orders.select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("bucket")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    b = (
+        nation.select(F.nullif(F.col("n_nationkey") % 7, F.lit(0)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_nations"))
+    )
+    return (
+        a.join(F.broadcast(b), a.bucket.eqNullSafe(b.bucket))
+        .select("o_orderkey", a.bucket.alias("bucket"), "n_nations")
+        .orderBy("o_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q18-style group-by-having join; union distinct; unnest; row-wise UDF
 # ---------------------------------------------------------------------------
