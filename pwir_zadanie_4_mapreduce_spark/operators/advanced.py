@@ -608,6 +608,39 @@ def scalar_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_order_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             ROUND(SUM(o_totalprice), 4) AS total_price,
+             ROUND(AVG(o_totalprice), 4) AS avg_price,
+             ROUND(MAX(o_totalprice), 4) AS max_price
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (total_price, avg_price, max_price))
+    ORDER BY o_orderpriority, metric
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): per-priority price metrics melted to
+    (priority, metric, value) rows — the inverse of pivot_event_counts.
+    Expand-based: no shuffle beyond the upstream aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        _r4(F.sum("o_totalprice")).alias("total_price"),
+        _r4(F.avg("o_totalprice")).alias("avg_price"),
+        _r4(F.max("o_totalprice")).alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["total_price", "avg_price", "max_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderpriority", "metric")
+
+
+@register(
     "join_null_safe_eq",
     oracle="""
     WITH a AS (SELECT o_orderkey, NULLIF(o_custkey % 7, 0) AS bucket
