@@ -223,6 +223,96 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({{jaccard}}) jp),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, w.label FROM walk w JOIN edges e ON w.node = e.u
+    )
+    SELECT node AS doc_id, MIN(label) AS canonical_id
+    FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: every node ends labeled
+    with the smallest node id in its connected component.
+
+    The reference's iterate-until-convergence shape (SURVEY.md §2.1
+    O9) applied to a second domain: per round, each node takes the min
+    of its own label and its neighbors' labels (one join + one
+    groupBy), the convergence test is a count of changed labels (the
+    O8 global reduce), and localCheckpoint cuts lineage per round.
+    Rounds needed = graph diameter — near-dup clusters are tiny, so
+    2-4 rounds in practice; the 100 TB version is the same loop with
+    the large-star/small-star optimization if diameters grow.
+
+    ``nodes``: (node); ``edges``: (u, v), directed — pass both
+    directions for undirected graphs.
+    """
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=False)
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges.u == labels.node)
+            .select(F.col("v").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=_CC_ORACLE.format(jaccard="{jaccard}"),  # placeholder patched below
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the exact-Jaccard
+    near-dup pairs; every document gets the canonical (minimum) doc_id
+    of its duplicate cluster — singletons map to themselves. This is
+    the survivor-selection step a dedup pipeline runs after pair
+    generation (keep canonical_id, drop the rest)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    labels = connected_components(docs, edges)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    ).orderBy("doc_id")
+
+
+# patch the real jaccard-pairs SQL into the recursive-CTE oracle (the
+# pairs definition must stay identical to dedup_ngram_jaccard's)
+from pwir_zadanie_4_mapreduce_spark.operators.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["dedup_cluster_components"] = _CC_ORACLE.format(
+    jaccard=_ORACLES["dedup_ngram_jaccard"]
+)
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) 64-bit SimHash per document: bit b is set iff
     the sum over token occurrences of ±1 (per bit b of the token's

@@ -52,6 +52,25 @@ def test_simhash_finds_planted_dups(spark):
     assert pairs == again
 
 
+def test_cluster_components_consistent_with_pairs(spark):
+    """Every near-dup pair must share a cluster; canonical is the min
+    member; non-pair docs are singletons labeled by themselves."""
+    labels = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.dedup_cluster_components(spark, SMOKE_SF).collect()
+    }
+    pairs = _pairs(dedup.dedup_ngram_jaccard(spark, SMOKE_SF))
+    assert pairs, "fixture should contain planted near-dup pairs"
+    in_pairs = set()
+    for a, b in pairs:
+        assert labels[a] == labels[b], (a, b)
+        in_pairs |= {a, b}
+    for doc, canon in labels.items():
+        assert canon <= doc
+        if doc not in in_pairs:
+            assert canon == doc
+
+
 def test_embedding_cosine_threshold(spark):
     rows = dedup.dedup_embedding_cosine(spark, SMOKE_SF).collect()
     assert all(r["cosine"] >= dedup.COSINE_DUP_THRESHOLD - 1e-4 for r in rows)
