@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "pipeline_corpus_prep",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "text_quality_score",

@@ -212,6 +212,74 @@ def text_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_corpus_prep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text, lang,
+               array_length(string_split(text, ' ')) AS n_tokens,
+               0.4 * LEAST(array_length(string_split(text, ' ')) / 100.0, 1.0)
+               + 0.3 * (array_length(list_distinct(string_split(text, ' ')))::DOUBLE
+                        / array_length(string_split(text, ' ')))
+               + 0.3 * LEAST((array_length(list_filter(string_split(text, ' '),
+                              t -> t IN ({_STOP_SQL})))::DOUBLE
+                              / array_length(string_split(text, ' '))) * 5.0, 1.0)
+                 AS quality
+        FROM documents),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+        SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+               MIN(n_tokens) AS n_tokens, MIN(quality) AS quality
+        FROM kept GROUP BY text)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS token_budget,
+           ROUND(AVG(quality), 4) AS avg_quality
+    FROM deduped GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus prep pipeline end-to-end in ONE declarative
+    plan: quality-score filter → exact dedup (survivor = min doc_id)
+    → per-language token budget. Composition is the point — Catalyst
+    fuses the score+filter into the scan projection, and the only
+    shuffles are the dedup groupBy and the final per-language agg.
+
+    100 TB: identical shape; the quality filter drops rows before
+    either shuffle, and dedup groups on the text hash (here the text
+    itself so the oracle matches exactly)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    quality = (
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * distinct_ratio
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    kept = docs.select(
+        "doc_id", "text", "lang", n_tokens.alias("n_tokens"), quality.alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+    deduped = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("quality").alias("quality"),
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("token_budget"),
+            dround(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register("text_fingerprint")  # rows-only: engine-specific hash (xxhash64)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min/max xxhash64 over
