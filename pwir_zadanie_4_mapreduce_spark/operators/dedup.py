@@ -294,14 +294,24 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # pair generation runs once, not per round
+    )
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-    labels = connected_components(docs, edges)
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
-    ).orderBy("doc_id")
+    # iterate ONLY over nodes that have an edge (dup-cluster members,
+    # a tiny fraction of the corpus); singletons are their own
+    # canonical by definition and skip the loop entirely.
+    paired_nodes = edges.select(F.col("u").alias("node")).distinct()
+    labels = connected_components(paired_nodes, edges)
+    out = docs.join(labels, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("label", "node").alias("canonical_id"),
+    )
+    return out.orderBy("doc_id")
 
 
 # patch the real jaccard-pairs SQL into the recursive-CTE oracle (the
