@@ -281,6 +281,75 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the scale path for graphs whose diameter makes
+    min-label propagation's diameter-many rounds too slow: this
+    converges in O(log n) alternations regardless of diameter.
+
+    Per alternation (each one join + one aggregation, same shuffle
+    shape as a propagation round):
+    - large-star: every node u links its strictly-larger neighbors to
+      m = min(Γ(u) ∪ {u}).
+    - small-star: every node u links its smaller-or-equal neighbors
+      (and itself) to their minimum.
+    The edge set converges to a star forest whose centers are the
+    component minima. Convergence is detected by an exact set-equality
+    check (anti-join both directions), one extra job per round.
+
+    ``nodes``: (node); ``edges``: (u, v) in either or both directions.
+    Returns (node, label) with label = component minimum, matching
+    connected_components.
+    """
+    E = (
+        edges.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        # large-star over both orientations: m = least(min neighbor, u)
+        nbrs = E.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            E.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        lmins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            nbrs.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over edges oriented larger→smaller (u = b side)
+        oriented = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        with_m = oriented.join(smins, "u")
+        new_E = (
+            with_m.filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .unionByName(smins.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_E.exceptAll(E).unionByName(E.exceptAll(new_E)).limit(1).count()
+        )
+        E = new_E
+        if changed == 0:
+            break
+    # fixpoint is a star forest: members appear on the b side pointing
+    # at their center a; centers (and singleton nodes) label themselves
+    member_labels = E.select(F.col("b").alias("node"), F.col("a").alias("label"))
+    return (
+        nodes.join(member_labels, "node", "left")
+        .groupBy("node")
+        .agg(F.min(F.coalesce("label", "node")).alias("label"))
+    )
+
+
 @register(
     "dedup_cluster_components",
     oracle=_CC_ORACLE.format(jaccard="{jaccard}"),  # placeholder patched below
@@ -314,6 +383,36 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+@register(
+    "dedup_cluster_components_star",
+    oracle=_CC_ORACLE.format(jaccard="{jaccard}"),  # placeholder patched below
+)
+def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster output as dedup_cluster_components, but
+    computed with the large-star/small-star alternation — the
+    O(log n)-round algorithm that replaces min-label propagation when
+    cluster diameters grow (the scale hedge the propagation docstring
+    promises). Checked against the identical recursive-CTE oracle."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    paired_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    labels = connected_components_star(paired_nodes, edges)
+    out = docs.join(labels, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("label", "node").alias("canonical_id"),
+    )
+    return out.orderBy("doc_id")
+
+
 # patch the real jaccard-pairs SQL into the recursive-CTE oracle (the
 # pairs definition must stay identical to dedup_ngram_jaccard's)
 from pwir_zadanie_4_mapreduce_spark.operators.registry import ORACLES as _ORACLES  # noqa: E402
@@ -321,6 +420,7 @@ from pwir_zadanie_4_mapreduce_spark.operators.registry import ORACLES as _ORACLE
 _ORACLES["dedup_cluster_components"] = _CC_ORACLE.format(
     jaccard=_ORACLES["dedup_ngram_jaccard"]
 )
+_ORACLES["dedup_cluster_components_star"] = _ORACLES["dedup_cluster_components"]
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:

@@ -71,6 +71,37 @@ def test_cluster_components_consistent_with_pairs(spark):
             assert canon == doc
 
 
+def test_star_components_match_propagation(spark):
+    """large-star/small-star must produce identical labels to
+    min-label propagation on the real near-dup graph AND on a
+    constructed high-diameter graph (a 40-node path — the case where
+    propagation needs 40 rounds but star alternation needs ~log n)."""
+    star = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.dedup_cluster_components_star(spark, SMOKE_SF).collect()
+    }
+    prop = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.dedup_cluster_components(spark, SMOKE_SF).collect()
+    }
+    assert star == prop
+
+    # path 0-1-...-39, a 3-cycle {100,101,102}, singletons 200, 201
+    path = [(i, i + 1) for i in range(39)]
+    cycle = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(path + cycle, "u long, v long")
+    nodes = spark.createDataFrame(
+        [(n,) for n in list(range(40)) + [100, 101, 102, 200, 201]], "node long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components_star(nodes, edges, max_iterations=10).collect()
+    }
+    want = {n: 0 for n in range(40)}
+    want.update({100: 100, 101: 100, 102: 100, 200: 200, 201: 201})
+    assert got == want
+
+
 def test_embedding_cosine_threshold(spark):
     rows = dedup.dedup_embedding_cosine(spark, SMOKE_SF).collect()
     assert all(r["cosine"] >= dedup.COSINE_DUP_THRESHOLD - 1e-4 for r in rows)
