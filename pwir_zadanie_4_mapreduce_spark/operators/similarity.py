@@ -109,18 +109,9 @@ def assign_centroids(e: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-@register("sim_topk_ivf")  # rows-only: approximate (recall tested vs brute force in pytest)
-def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-k: probe the query's nearest 4 of 16
-    coarse centroids, exact cosine within the probed buckets only.
-
-    Centroids are deterministic (the 16 lowest vec_ids) — a stand-in
-    for a k-means codebook that keeps the whole pipeline seed-free.
-    Scanned fraction ≈ nprobe/ncentroids = 25%; at 100 TB the corpus
-    is written partitioned by centroid_id so probes prune at the scan.
-    """
-    e = _prepped(spark, sf_dir)
-    centroids = (
+def _seed_centroids(e: DataFrame) -> DataFrame:
+    """Deterministic coarse codebook: the N_CENTROIDS lowest vec_ids."""
+    return (
         e.orderBy("vec_id")
         .limit(N_CENTROIDS)
         .select(
@@ -129,7 +120,11 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cn"),
         )
     )
-    assigned = assign_centroids(e, centroids)
+
+
+def _ivf_topk(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Probe the query's N_PROBE nearest centroids; exact cosine top-k
+    within the probed buckets only."""
     q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -153,6 +148,90 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", dround("cosine", 4).alias("cosine"))
     )
+
+
+@register("sim_topk_ivf")  # rows-only: approximate (recall tested vs brute force in pytest)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: probe the query's nearest 4 of 16
+    coarse centroids, exact cosine within the probed buckets only.
+
+    Centroids are deterministic (the 16 lowest vec_ids) — the seed-free
+    baseline codebook; sim_topk_ivf_kmeans trains a real one.
+    Scanned fraction ≈ nprobe/ncentroids = 25%; at 100 TB the corpus
+    is written partitioned by centroid_id so probes prune at the scan.
+    """
+    e = _prepped(spark, sf_dir)
+    centroids = _seed_centroids(e)
+    return _ivf_topk(assign_centroids(e, centroids), centroids)
+
+
+KMEANS_ITERS = 5
+
+
+def kmeans_codebook(
+    e: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Spherical k-means codebook via Lloyd iterations, fully
+    deterministic: init = the k lowest vec_ids; each update sums unit
+    vectors per (centroid, dimension) in DECIMAL — exact, so the
+    result is independent of partitioning/summation order (double sums
+    are not) — then renormalizes driver-side.
+
+    The codebook is k×dim (tiny); collecting it per round is the
+    standard topology — at 100 TB k-means trains on a sample and only
+    the final assignment pass touches the full corpus. Empty clusters
+    keep their previous centroid.
+    Returns (centroid_id, cv, cn) like _seed_centroids.
+    """
+    spark = e.sparkSession
+    centroids = _seed_centroids(e)
+    book = {
+        r["centroid_id"]: list(r["cv"]) for r in centroids.collect()
+    }  # id → components; unit-normalized below for a uniform contract
+    book = {cid: _unit(v) for cid, v in book.items()}
+    train = e.filter(F.col("nrm") > 0).localCheckpoint(eager=False)
+    for _ in range(iters):
+        cdf = _codebook_df(spark, book)
+        assigned = assign_centroids(train, cdf)
+        sums = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(F.transform("v", lambda x: (x / F.col("nrm")))).alias("d", "u"),
+            )
+            .groupBy("centroid_id", "d")
+            .agg(F.sum(F.col("u").cast("decimal(27,12)")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_book = {}
+        for r in sums:
+            new_book.setdefault(r["centroid_id"], {})[r["d"]] = float(r["s"]) / r["n"]
+        for cid, comps in new_book.items():
+            book[cid] = _unit([comps[d] for d in range(len(comps))])
+        # centroids absent from new_book (empty clusters) keep old value
+    return _codebook_df(spark, book)
+
+
+def _unit(v: list) -> list:
+    nrm = sum(x * x for x in v) ** 0.5
+    return [x / nrm for x in v] if nrm > 0 else v
+
+
+def _codebook_df(spark: SparkSession, book: dict) -> DataFrame:
+    rows = [(cid, book[cid]) for cid in sorted(book)]
+    df = spark.createDataFrame(rows, "centroid_id long, cv array<double>")
+    return df.select("centroid_id", "cv", l2_norm(F.col("cv")).alias("cn"))
+
+
+@register("sim_topk_ivf_kmeans")  # rows-only: approximate (recall tested vs brute force)
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a trained spherical k-means codebook: Lloyd
+    iterations (deterministic, see kmeans_codebook) replace the seed
+    centroids, so buckets follow the data distribution — tighter
+    clusters mean the same nprobe=4/16 probes capture more true
+    neighbors than the untrained variant."""
+    e = _prepped(spark, sf_dir)
+    centroids = kmeans_codebook(e)
+    return _ivf_topk(assign_centroids(e, centroids), centroids)
 
 
 N_HYPERPLANES = 8

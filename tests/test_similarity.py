@@ -52,6 +52,43 @@ def test_rp_lsh_recall_and_probe_fraction(spark):
     assert probed / total < 0.6, f"probed {probed}/{total}"
 
 
+def test_ivf_kmeans_recall_and_determinism(spark):
+    brute = {r["vec_id"] for r in similarity.sim_topk_bruteforce(spark, SMOKE_SF).collect()}
+    km = {r["vec_id"] for r in similarity.sim_topk_ivf_kmeans(spark, SMOKE_SF).collect()}
+    recall = len(brute & km) / len(brute)
+    assert recall >= 0.2, f"kmeans-ivf recall {recall}"
+    again = {r["vec_id"] for r in similarity.sim_topk_ivf_kmeans(spark, SMOKE_SF).collect()}
+    assert km == again
+
+
+def test_kmeans_codebook_properties(spark):
+    """Codebook: k unit-norm centroids, deterministic across retrains,
+    and Lloyd training must not increase within-cluster scatter vs the
+    seed codebook (measured as mean assigned cosine — higher=tighter)."""
+    e = similarity._prepped(spark, SMOKE_SF)
+    book = similarity.kmeans_codebook(e)
+    rows = book.collect()
+    assert len(rows) == similarity.N_CENTROIDS
+    for r in rows:
+        assert abs(r["cn"] - 1.0) < 1e-9
+    again = similarity.kmeans_codebook(e).collect()
+    assert [(r["centroid_id"], r["cv"]) for r in rows] == [
+        (r["centroid_id"], r["cv"]) for r in again
+    ]
+
+    def mean_cos(centroids):
+        assigned = similarity.assign_centroids(e, centroids)
+        joined = assigned.join(
+            centroids.withColumnRenamed("centroid_id", "cid"),
+            F.col("centroid_id") == F.col("cid"),
+        )
+        cos = similarity._cosine(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn"))
+        return joined.select(F.avg(cos).alias("m")).first()["m"]
+
+    seed = similarity._seed_centroids(e)
+    assert mean_cos(book) >= mean_cos(seed) - 1e-9
+
+
 def test_centroid_assignment_total(spark):
     e = similarity._prepped(spark, SMOKE_SF)
     centroids = (
