@@ -153,6 +153,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DF_CAP = 20
+
+
+@register(
+    "dedup_ngram_jaccard_dfcap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WORDS - 1}], ' '))) AS sh
+        FROM documents),
+    p AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    keep AS (
+        SELECT doc_id, s FROM p
+        QUALIFY COUNT(*) OVER (PARTITION BY s) <= {DF_CAP}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                 / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))), 4) AS jaccard
+    FROM cand c JOIN t ta ON ta.doc_id = c.doc_a JOIN t tb ON tb.doc_id = c.doc_b
+    WHERE len(list_intersect(ta.sh, tb.sh))::DOUBLE
+          / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup pairs with a document-frequency cap on the
+    inverted index: shingles appearing in more than DF_CAP documents
+    ("stop-shingles") are dropped from candidate generation — THE skew
+    mitigation at 100 TB, where one boilerplate shingle shared by 10%
+    of the corpus would otherwise create a quadratic posting join on a
+    single key. Verification still scores FULL shingle sets, so scores
+    are exact; only pairs whose every common shingle is a stop-shingle
+    are missed (by construction such pairs are boilerplate overlap).
+    The DuckDB oracle mirrors the cap exactly, so this is hash-checked
+    — unlike heuristic variants, capped semantics are well-defined.
+    """
+    sh = _shingled(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"),
+    ).localCheckpoint(eager=False)
+    posting = hashed.select("doc_id", F.explode("hs").alias("h"))
+    rare = posting.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= DF_CAP
+    )
+    kept = posting.join(rare.select("h"), "h")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
+    candidates = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    full_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    full_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = n_common.cast("double") / (F.size("hs_a") + F.size("hs_b") - n_common)
+    return (
+        candidates.join(full_a, "doc_a")
+        .join(full_b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
+    )
+
+
 def minhash_signature_agg(posting: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
     """MinHash signature as ONE hash aggregation over the exploded
     shingle-hash posting list: perm p's value for a doc is

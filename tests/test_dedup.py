@@ -71,6 +71,24 @@ def test_cluster_components_consistent_with_pairs(spark):
             assert canon == doc
 
 
+def test_dfcap_jaccard_subset_of_exact(spark):
+    """Capped candidates can only lose pairs, never invent them, and
+    surviving pairs carry the identical exact score."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_ngram_jaccard(spark, SMOKE_SF).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_ngram_jaccard_dfcap(spark, SMOKE_SF).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j == exact[pair]
+    # planted near-dups share rare shingles — the cap should keep most
+    assert len(capped) >= 0.8 * len(exact), (len(capped), len(exact))
+
+
 def test_star_components_match_propagation(spark):
     """large-star/small-star must produce identical labels to
     min-label propagation on the real near-dup graph AND on a
