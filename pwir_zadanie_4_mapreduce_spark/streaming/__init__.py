@@ -8,6 +8,8 @@ execution mode (watermarks, windowed state, session windows).
 """
 
 from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (  # noqa: F401
+    run_foreach_batch_sink,
+    run_rate_source_demo,
     run_sessionization_stream,
     run_sliding_stream,
     run_stateful_user_totals,

@@ -152,6 +152,65 @@ def run_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """foreachBatch parquet sink with idempotent per-batch writes: each
+    micro-batch lands in ``out_dir/batch_id=N`` under mode=overwrite,
+    so a replayed batch (restart between sink write and offset commit
+    — the classic failure window) REWRITES its directory instead of
+    appending duplicates. With a deterministic batch→data mapping this
+    is the standard exactly-once recipe for sinks without transactional
+    commit. Returns the files read back as a DataFrame.
+    """
+    import os
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # runs on the driver; the write itself is a distributed job
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("basePath", out_dir).parquet(os.path.join(out_dir, "batch_id=*"))
+
+
+def run_rate_source_demo(spark: SparkSession, rows_per_batch: int = 100) -> DataFrame:
+    """Bounded demo of the rate-micro-batch source (the Kafka-shaped
+    generator source): one deterministic batch — values 0..n-1,
+    timestamps advancing from epoch — aggregated into per-second
+    counts. Trigger.AvailableNow bounds an otherwise-infinite source,
+    which is also the backfill pattern for a real Kafka topic (run
+    AvailableNow repeatedly to drain in bounded increments)."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    agg = stream.groupBy(F.window("timestamp", "1 second").alias("w")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("value_sum")
+    ).select(F.col("w.start").alias("second"), "n", "value_sum")
+    name = f"rate_demo_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def run_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30 min gap) per user.
 

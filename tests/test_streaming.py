@@ -78,6 +78,34 @@ def test_stream_static_join_equals_batch(spark):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_foreach_batch_sink_idempotent(spark, tmp_path):
+    """foreachBatch parquet sink: readback equals the source table, and
+    a checkpointed re-run adds nothing (offsets committed) — the
+    exactly-once contract."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.streaming import run_foreach_batch_sink
+
+    out = str(tmp_path / "sink")
+    got = run_foreach_batch_sink(spark, SMOKE_SF, out)
+    src = load_table(spark, SMOKE_SF, "events")
+    assert got.count() == src.count()
+    assert sorted(r["event_id"] for r in got.select("event_id").collect()) == sorted(
+        r["event_id"] for r in src.select("event_id").collect()
+    )
+    again = run_foreach_batch_sink(spark, SMOKE_SF, out)
+    assert again.count() == src.count()
+
+
+def test_rate_source_demo_deterministic(spark):
+    """One bounded rate-micro-batch: 100 values over 1-second windows,
+    each second carrying its arithmetic-series sum."""
+    from pwir_zadanie_4_mapreduce_spark.streaming import run_rate_source_demo
+
+    rows = {r["second"]: (r["n"], r["value_sum"]) for r in run_rate_source_demo(spark).collect()}
+    assert sum(n for n, _ in rows.values()) == 100
+    assert sum(s for _, s in rows.values()) == sum(range(100))
+
+
 def test_session_stream_total_events(spark):
     """session_window totals must cover every event exactly once."""
     stream = run_sessionization_stream(spark, SMOKE_SF)
