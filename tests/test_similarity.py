@@ -52,6 +52,26 @@ def test_rp_lsh_recall_and_probe_fraction(spark):
     assert probed / total < 0.6, f"probed {probed}/{total}"
 
 
+def test_batch_topk_contains_single_query_topk(spark):
+    """The batch query's query_id=0 slice must equal the single-query
+    brute-force top-k."""
+    batch = similarity.sim_topk_batch(spark, SMOKE_SF)
+    q0 = [
+        (r["vec_id"], r["cosine"])
+        for r in batch.filter(F.col("query_id") == similarity.QUERY_VEC_ID)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .collect()
+    ]
+    single = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.sim_topk_bruteforce(spark, SMOKE_SF).collect()
+    ]
+    assert q0 == single
+    counts = batch.groupBy("query_id").count().collect()
+    assert len(counts) == similarity.QUERY_BATCH
+    assert all(r["count"] == similarity.TOP_K for r in counts)
+
+
 def test_ivf_kmeans_recall_and_determinism(spark):
     brute = {r["vec_id"] for r in similarity.sim_topk_bruteforce(spark, SMOKE_SF).collect()}
     km = {r["vec_id"] for r in similarity.sim_topk_ivf_kmeans(spark, SMOKE_SF).collect()}
