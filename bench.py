@@ -39,10 +39,12 @@ HEADLINE = [
     "pivot_event_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_dfcap",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
     "pipeline_corpus_prep",
     "sim_topk_bruteforce",
+    "sim_topk_batch",
     "sim_topk_ivf",
     "text_quality_score",
     "multimodal_decode_features",

@@ -10,6 +10,7 @@ from pwir_zadanie_4_mapreduce_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     relational,
+    sampling,
     similarity,
     text,
 )

@@ -1,0 +1,86 @@
+"""Deterministic sampling & dataset splitting — the reproducibility
+primitives of a training-data pipeline (eval splits, ablation
+subsets, cheap pre-aggregation scans).
+
+Why not ``df.sample``/TABLESAMPLE: RNG-based sampling is seed- and
+partitioning-dependent, unreproducible across engines, and re-rolls
+membership when the corpus is re-read. Hash-prefix membership
+(``substr(md5(key), 1, 2)`` compared lexicographically) is the
+standard fix: a row's split follows it forever, any engine computes
+the same answer (md5 hex is engine-neutral — DuckDB and Spark agree
+byte-for-byte), adding data never moves existing rows between splits,
+and the predicate is a pure projection — no shuffle, no state, fully
+pushdown-friendly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
+from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+
+# 256 hex-prefix buckets: '0d' = 13/256 ≈ 5.1% test, next 13 valid
+TEST_UPPER = "0d"
+VALID_UPPER = "1a"
+SAMPLE_UPPER = "1a"  # ≈10.2% sample
+
+
+def hash_bucket(key) -> F.Column:
+    """Two-hex-char md5 prefix of the key's decimal string — a stable
+    256-way bucketing any engine reproduces exactly."""
+    return F.substring(F.md5(F.col(key).cast("string")), 1, 2)
+
+
+@register(
+    "sample_split_documents",
+    oracle=f"""
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TEST_UPPER}' THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VALID_UPPER}' THEN 'valid'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test assignment for every document: ~90/5/5 by md5
+    prefix of doc_id. Pure projection — Catalyst keeps it inside the
+    scan stage; at 100 TB the split column is typically written back
+    as a partition column so each split prunes at the source."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < TEST_UPPER, F.lit("test"))
+        .when(b < VALID_UPPER, F.lit("valid"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", b.alias("bucket"), split.alias("split"))
+
+
+@register(
+    "sample_hash_orders",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '{SAMPLE_UPPER}'
+    GROUP BY o_orderpriority
+    """,
+)
+def sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a deterministic ~10% hash sample of orders — the
+    cheap-estimate scan pattern. The membership predicate is a scan
+    filter (row-group statistics can't prune md5, but the filter runs
+    pre-shuffle, so the agg shuffles 10% of the data)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    sampled = orders.filter(hash_bucket("o_orderkey") < SAMPLE_UPPER)
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
