@@ -1029,3 +1029,117 @@ def udf_python_rowwise_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff + fixed-width histogram
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str, cmp_cols: list) -> DataFrame:
+    """Generic CDC between two snapshots of a keyed table: full outer
+    join on the key, change_type ∈ added/removed/changed (unchanged
+    rows are dropped). Column comparison is null-safe (<=>).
+
+    100 TB note: this is the incremental-ingestion primitive. The
+    full outer join shuffles both snapshots on the key once; if the
+    snapshots are stored bucketed by the key (the natural layout for
+    repeated diffs) the exchange disappears entirely.
+    """
+    o = old.select(F.col(key).alias("k"), *[F.col(c).alias(f"o_{c}") for c in cmp_cols])
+    n = new.select(F.col(key).alias("k"), *[F.col(c).alias(f"n_{c}") for c in cmp_cols])
+    # presence flags survive the outer join even when all payload
+    # columns are legitimately NULL
+    o = o.withColumn("o_present", F.lit(True))
+    n = n.withColumn("n_present", F.lit(True))
+    j = o.join(n, "k", "full_outer")
+    differs = F.lit(False)
+    for c in cmp_cols:
+        differs = differs | ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+    change = (
+        F.when(F.col("o_present").isNull(), F.lit("added"))
+        .when(F.col("n_present").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(F.col("k").alias(key), "change_type")
+    )
+
+
+@register(
+    "cdc_orders_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 3),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 17 = 2
+                    THEN ROUND(o_totalprice * 1.1, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 5)
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                  OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                THEN 'changed' END AS change_type
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE CASE WHEN old.o_orderkey IS NULL THEN 'added'
+               WHEN new.o_orderkey IS NULL THEN 'removed'
+               WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                 OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+               THEN 'changed' END IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff exercised on two synthetic snapshots of orders
+    (key-modulus membership + a price bump simulate delete/insert/
+    update): emits exactly the added/removed/changed keys. The
+    modulus construction keeps the fixture deterministic and lets the
+    oracle mirror the snapshots symbolically."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 11 != 3)
+    new = orders.filter(F.col("o_orderkey") % 13 != 5).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 17 == 2, dround(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]).orderBy(
+        "o_orderkey"
+    )
+
+
+@register(
+    "agg_histogram_price",
+    oracle="""
+    SELECT LEAST(CAST(floor(o_totalprice / 25000) AS INTEGER), 19) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 × 25k buckets, open-ended top) of
+    order totals — one projection + one aggregation, the shape every
+    data-quality dashboard runs. Map-side partial aggregation means
+    the shuffle carries ≤ 20 rows per task at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000).cast("int"), F.lit(19))
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.min("o_totalprice"), 2).alias("lo"),
+            dround(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
