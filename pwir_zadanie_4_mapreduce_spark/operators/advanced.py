@@ -1143,3 +1143,163 @@ def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# further TPC-H shapes (Q4 / Q12 / Q19) + edit-distance text op
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_late_ship",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated semi join + priority count
+    (adapted to the fixture's columns: 'some line shipped after the
+    order date' replaces commit/receipt lateness).
+
+    leftsemi join keeps orders single-copy regardless of how many
+    lineitems match — the semi join is THE scale answer to the
+    EXISTS subquery (no fan-out, no distinct needed)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q12_priority_by_flag",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN CAST(SUBSTR(o.o_orderpriority, 1, 1) AS INTEGER) <= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN CAST(SUBSTR(o.o_orderpriority, 1, 1) AS INTEGER) > 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional-count pivot by
+    priority class (returnflag substitutes the fixture-absent
+    shipmode). Both CASE counts ride one aggregation — one shuffle,
+    two output measures."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    pr = F.substring("o_orderpriority", 1, 1).cast("int")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(pr <= 2, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(pr > 2, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjuncts over join output.
+
+    The optimizer lesson: per-side implied predicates (brand IN (...),
+    size <= 35, quantity <= 40) are derivable from the disjunction and
+    push to the scans even though the full predicate needs both
+    tables; part stays broadcast-size after its pushdown. Catalyst
+    does this constraint propagation automatically when the
+    disjunction is written as one boolean expression."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "text_levenshtein_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, substr(text, 1, 40) AS prefix FROM documents),
+    q AS (SELECT * FROM p WHERE doc_id < 20)
+    SELECT q.doc_id,
+           MIN(levenshtein(q.prefix, p.prefix)) AS min_dist
+    FROM q JOIN p ON p.doc_id <> q.doc_id
+    GROUP BY q.doc_id ORDER BY q.doc_id
+    """,
+)
+def text_levenshtein_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance nearest neighbor (prefix-bounded): for each probe
+    doc (id < 20), the minimum Levenshtein distance from its 40-char
+    prefix to any other document's prefix — the character-level
+    near-dup check that complements token Jaccard (catches
+    whitespace/punctuation edits Jaccard over-penalizes).
+
+    Bounding to a fixed prefix caps the O(len²) DP per pair; probes
+    broadcast, so the corpus is scanned once. At 100 TB the probe set
+    is a sample and the full-text confirmation runs only on low
+    prefix distances."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    probes = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("q_id"), F.col("prefix").alias("q_prefix")
+    )
+    return (
+        docs.crossJoin(F.broadcast(probes))
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id")
+        .agg(F.min(F.levenshtein("q_prefix", "prefix")).alias("min_dist"))
+        .select(F.col("q_id").alias("doc_id"), "min_dist")
+        .orderBy("doc_id")
+    )
