@@ -7,6 +7,7 @@ counts and per-cell agreement with `laplace-seq.exe --verbose N`.
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 
@@ -65,3 +66,22 @@ def test_n8_iterations_and_grid(spark):
     row1 = [rows[1 * 8 + j]["v"] for j in range(8)]
     for got, want in zip(row1, GOLDEN_N8_ROW1):
         assert math.isclose(got, want, abs_tol=1e-9)
+
+
+_BIG = os.environ.get("PWIR_LAPLACE_BIG") == "1"
+
+
+@pytest.mark.skipif(not _BIG, reason="~2 min; set PWIR_LAPLACE_BIG=1")
+def test_n16_stats(spark):
+    # FIXTURES.md §2: 132 iterations, final diff 0.0000056832
+    r = laplace.solve(spark, 16)
+    assert r.num_iterations == 132
+    assert abs(r.final_diff - 0.0000056832) < 1e-9
+
+
+@pytest.mark.skipif(not _BIG, reason="~6 min; set PWIR_LAPLACE_BIG=1")
+def test_n32_stats(spark):
+    # FIXTURES.md §2: 368 iterations, final diff 0.0000110032
+    r = laplace.solve(spark, 32)
+    assert r.num_iterations == 368
+    assert abs(r.final_diff - 0.0000110032) < 1e-9
