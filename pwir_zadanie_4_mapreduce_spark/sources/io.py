@@ -26,6 +26,10 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.json(path, schema=schema)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -36,3 +40,10 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the second columnar format Spark ships natively;
+    same pushdown/pruning properties as parquet (tested in
+    tests/test_sources.py)."""
+    df.write.mode(mode).orc(path)

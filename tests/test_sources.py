@@ -14,7 +14,9 @@ from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 from pwir_zadanie_4_mapreduce_spark.sources.io import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
+    write_orc,
     write_parquet,
 )
 from tests.conftest import SMOKE_SF
@@ -40,6 +42,19 @@ def test_json_round_trip(spark):
         nation.write.mode("overwrite").json(path)
         back = read_json(spark, path, schema=nation.schema)
         assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_orc_round_trip_with_pushdown(spark):
+    nation = _nation(spark)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "nation_orc")
+        write_orc(nation, path)
+        back = read_orc(spark, path)
+        assert sorted(back.collect()) == sorted(nation.collect())
+        filtered = back.filter(F.col("n_nationkey") == 3)
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan
+        assert filtered.count() == 1
 
 
 def test_partitioned_parquet_write_prunes(spark):
