@@ -1029,3 +1029,103 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_nationkey").applyInPandas(
         zscore, "c_custkey bigint, c_nationkey int, balance_zscore double"
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series resampling + funnel analytics over events
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ohlc_15min",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+           ROUND((list(value ORDER BY ts, event_id))[1], 4)   AS open,
+           ROUND(MAX(value), 4)                               AS high,
+           ROUND(MIN(value), 4)                               AS low,
+           ROUND((list(value ORDER BY ts DESC, event_id DESC))[1], 4) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY bucket_start ORDER BY bucket_start
+    """,
+)
+def events_ohlc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: 15-minute resample of the event value series
+    — the canonical time-series rollup (metrics, tick data). open and
+    close are min_by/max_by over (ts, event_id) — ties broken by
+    event_id so the result is data-determined, not partition-
+    determined. One groupBy; all five measures partial-aggregate
+    map-side, so the shuffle carries one row per bucket per task
+    regardless of corpus size. (Spark window(15 min) start aligns with
+    DuckDB time_bucket: both snap to 900 s boundaries.)"""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    order = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            dround(F.min_by("value", order), 4).alias("open"),
+            dround(F.max("value"), 4).alias("high"),
+            dround(F.min("value"), 4).alias("low"),
+            dround(F.max_by("value", order), 4).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "open", "high", "low", "close", "n_events")
+        .orderBy("bucket_start")
+    )
+
+
+@register(
+    "events_funnel_click_purchase",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, MIN(ts) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id),
+    p AS (
+        SELECT c.user_id, MIN(e.ts) AS first_purchase
+        FROM c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts >= c.first_click
+        GROUP BY c.user_id)
+    SELECT CAST(date_trunc('day', c.first_click) AS TIMESTAMP) AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_clickers,
+           CAST(COUNT(p.first_purchase) AS BIGINT) AS n_purchasers,
+           CAST(SUM(CASE WHEN p.first_purchase <= c.first_click + INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_1h
+    FROM c LEFT JOIN p ON p.user_id = c.user_id
+    GROUP BY cohort_day ORDER BY cohort_day
+    """,
+)
+def events_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per first-click cohort day, how many
+    clickers ever purchased (after the click) and how many within an
+    hour. Two per-user aggregations + one left join — the sequence
+    predicate (purchase AFTER click) rides the join condition, so no
+    per-user event list ever materializes (the naive collect_list-
+    then-scan plan would ship every event; this ships one row per
+    user)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .join(clicks, (F.col("p_user") == F.col("user_id")) & (F.col("p_ts") >= F.col("first_click")))
+        .groupBy("p_user")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    funnel = clicks.join(purchases, clicks.user_id == purchases.p_user, "left")
+    converted = (
+        F.col("first_purchase") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR")
+    ).cast("int")
+    return (
+        funnel.groupBy(F.date_trunc("day", "first_click").alias("cohort_day"))
+        .agg(
+            F.count("*").alias("n_clickers"),
+            F.count("first_purchase").alias("n_purchasers"),
+            F.coalesce(F.sum(converted), F.lit(0)).alias("n_converted_1h"),
+        )
+        .orderBy("cohort_day")
+    )

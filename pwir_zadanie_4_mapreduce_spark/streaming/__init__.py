@@ -14,5 +14,6 @@ from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (  # noqa: F401
     run_sliding_stream,
     run_stateful_user_totals,
     run_stream_static_join,
+    run_stream_stream_join,
     run_tumbling_stream,
 )

@@ -211,6 +211,35 @@ def run_rate_source_demo(spark: SparkSession, rows_per_batch: int = 100) -> Data
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to the same user's
+    purchases within [click, click + 30 min] — both sides unbounded
+    streams. Watermarks (1 h) + the time-range join condition let the
+    state store evict rows once no future match is possible; without
+    BOTH bounds the join state grows forever — the stream-stream
+    hazard at 100 TB/day. Emits per-user matched-pair counts."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "click_ts", "purchase_ts")
+    out = _run_to_memory(joined, "append")
+    return out.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
 def run_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30 min gap) per user.
 

@@ -78,6 +78,36 @@ def test_stream_static_join_equals_batch(spark):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream interval join must match the equivalent batch
+    join (the fixture fits one micro-batch, so no pairs are lost to
+    watermark eviction)."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.streaming import run_stream_stream_join
+    from pyspark.sql import functions as F2
+
+    stream = run_stream_stream_join(spark, SMOKE_SF)
+    ev = load_table(spark, SMOKE_SF, "events")
+    clicks = ev.filter(F2.col("event_type") == "click").select(
+        "user_id", F2.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F2.col("event_type") == "purchase").select(
+        F2.col("user_id").alias("p_user"), F2.col("ts").alias("purchase_ts")
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F2.col("user_id") == F2.col("p_user"))
+            & (F2.col("purchase_ts") >= F2.col("click_ts"))
+            & (F2.col("purchase_ts") <= F2.col("click_ts") + F2.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("user_id")
+        .agg(F2.count("*").alias("n_pairs"))
+    )
+    cols = ["user_id", "n_pairs"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_foreach_batch_sink_idempotent(spark, tmp_path):
     """foreachBatch parquet sink: readback equals the source table, and
     a checkpointed re-run adds nothing (offsets committed) — the
