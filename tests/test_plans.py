@@ -80,6 +80,53 @@ def test_scalar_subquery_broadcasts_aggregate(spark):
     assert has_broadcast_join(subquery_scalar_small_qty(spark, SMOKE_SF))
 
 
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """Q19's OR-of-conjuncts must yield per-side implied predicates on
+    BOTH scans (constraint propagation), not a post-join filter only."""
+    from pwir_zadanie_4_mapreduce_spark.operators.advanced import (
+        q19_disjunctive_revenue,
+    )
+
+    df = q19_disjunctive_revenue(spark, SMOKE_SF)
+    plan = explain_str(df)
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in plan.replace("\n", " "), plan
+    assert plan.count("Or(") >= 2, "expected disjunctive pushdown on both scans"
+    assert has_broadcast_join(df)
+
+
+def test_sample_split_is_scan_plus_project_only(spark):
+    """The split assignment must stay a projection — any Exchange
+    means the operator broke its zero-shuffle contract."""
+    from pwir_zadanie_4_mapreduce_spark.operators.sampling import (
+        sample_split_documents,
+    )
+
+    plan = explain_str(sample_split_documents(spark, SMOKE_SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_funnel_no_cartesian_and_partial_agg(spark):
+    from pwir_zadanie_4_mapreduce_spark.operators.relational import (
+        events_funnel_click_purchase,
+    )
+
+    plan = explain_str(events_funnel_click_purchase(spark, SMOKE_SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ohlc_single_shuffle(spark):
+    """One groupBy → exactly one Exchange below the final agg (plus
+    the orderBy's range exchange at the top)."""
+    from pwir_zadanie_4_mapreduce_spark.operators.relational import (
+        events_ohlc_15min,
+    )
+
+    plan = explain_str(events_ohlc_15min(spark, SMOKE_SF))
+    n_hash_exchanges = plan.count("Arguments: hashpartitioning")
+    assert n_hash_exchanges == 1, plan
+    assert "partial_min_by" in plan, "expected map-side partial aggregation"
+
+
 def test_salted_join_no_cartesian(spark):
     from pwir_zadanie_4_mapreduce_spark.operators.advanced import (
         join_salted_order_revenue,
