@@ -222,6 +222,55 @@ def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_CUTOFF_FRACTION = 0.8  # docs with id >= 80th-percentile boundary = "today's batch"
+
+
+@register(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(doc_id) + CAST({INCR_CUTOFF_FRACTION} * (MAX(doc_id) - MIN(doc_id)) AS BIGINT)
+               AS cutoff
+        FROM documents),
+    hist AS (
+        SELECT DISTINCT sha256(text) AS h FROM documents, bounds
+        WHERE doc_id < cutoff),
+    batch AS (
+        SELECT doc_id, sha256(text) AS h FROM documents, bounds
+        WHERE doc_id >= cutoff)
+    SELECT MIN(b.doc_id) AS doc_id, b.h AS text_sha256,
+           CAST(COUNT(*) AS BIGINT) AS n_in_batch
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h)
+    GROUP BY b.h
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-ingest shape: today's batch (top
+    20% of doc_ids stands in for the new partition) keeps only
+    documents whose content hash is (a) absent from the historical
+    corpus (anti join on the digest) and (b) unique within the batch
+    (min-doc_id groupBy).
+
+    At 100 TB this is THE dedup job that actually runs every day:
+    history is never re-deduped, only probed — and since history is
+    stored as digests (32 bytes/doc), the anti join shuffles digests,
+    not documents. With history bucketed by digest the probe is
+    exchange-free on that side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cutoff = lo + int(INCR_CUTOFF_FRACTION * (hi - lo))
+    hashed = docs.select("doc_id", F.sha2("text", 256).alias("text_sha256"))
+    hist = hashed.filter(F.col("doc_id") < cutoff).select("text_sha256").distinct()
+    batch = hashed.filter(F.col("doc_id") >= cutoff)
+    return (
+        batch.join(hist, "text_sha256", "left_anti")
+        .groupBy("text_sha256")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_in_batch"))
+        .select("doc_id", "text_sha256", "n_in_batch")
+    )
+
+
 def minhash_signature_agg(posting: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
     """MinHash signature as ONE hash aggregation over the exploded
     shingle-hash posting list: perm p's value for a doc is

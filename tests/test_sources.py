@@ -57,6 +57,29 @@ def test_orc_round_trip_with_pushdown(spark):
         assert filtered.count() == 1
 
 
+def test_dynamic_partition_pruning(spark):
+    """Joining a partition-column-keyed fact against a FILTERED dim
+    must compile to dynamic partition pruning: the fact scan waits for
+    the dim's build side and reads only matching partition dirs — the
+    runtime analogue of static pruning, essential when the partition
+    filter is only known via the join."""
+    import tempfile
+
+    ev = load_table(spark, SMOKE_SF, "events").select("event_id", "event_type", "value")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events_part")
+        write_parquet(ev, path, partition_by=["event_type"])
+        fact = read_parquet(spark, path)
+        dim = spark.createDataFrame(
+            [("click", 1.0), ("purchase", 3.0)], "event_type string, weight double"
+        ).filter(F.col("weight") > 2.0)  # only 'purchase' survives
+        joined = fact.join(dim, "event_type").agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        expected = ev.filter(F.col("event_type") == "purchase").count()
+        assert joined.first()["n"] == expected
+
+
 def test_partitioned_parquet_write_prunes(spark):
     """partitionBy writes must enable partition pruning on read —
     the 100 TB layout contract: a filtered read touches one dir."""
