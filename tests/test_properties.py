@@ -80,3 +80,58 @@ def test_filter_complement_partitions_rows(spark, rows):
     df = _df(spark, rows)
     pred = F.col("v") > 0
     assert df.filter(pred).count() + df.filter(~pred).count() == df.count()
+
+
+_edges = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=11), st.integers(min_value=0, max_value=11)),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(edges=_edges)
+@_settings
+def test_connected_components_both_algorithms_match_union_find(spark, edges):
+    """Min-label propagation AND large-star/small-star must both equal
+    a reference union-find, for arbitrary small graphs (self-loops,
+    parallel edges, isolated nodes included)."""
+    from pwir_zadanie_4_mapreduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 12
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {x: find(x) for x in range(n)}
+    # canonicalize to component minimum
+    comp_min = {}
+    for x in range(n):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[find(x)] for x in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    both_dirs = edges + [(v, u) for u, v in edges]
+    if both_dirs:
+        edf = spark.createDataFrame(both_dirs, "u long, v long")
+    else:
+        edf = spark.createDataFrame([], "u long, v long")
+    got_prop = {
+        r["node"]: r["label"] for r in connected_components(nodes, edf).collect()
+    }
+    got_star = {
+        r["node"]: r["label"] for r in connected_components_star(nodes, edf).collect()
+    }
+    assert got_prop == want
+    assert got_star == want
