@@ -36,8 +36,13 @@ HEADLINE = [
     "agg_rollup_flags",
     "window_top3_orders_per_customer",
     "events_sessionization",
+    "events_ohlc_15min",
+    "events_funnel_click_purchase",
     "pivot_event_counts",
+    "cdc_orders_snapshot_diff",
+    "sample_hash_orders",
     "dedup_exact",
+    "dedup_incremental_new_docs",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_dfcap",
     "dedup_minhash_lsh",
