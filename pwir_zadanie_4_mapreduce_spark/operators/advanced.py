@@ -467,6 +467,34 @@ def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALT = 8
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_expr: Column,
+    n_salt: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Generic skew-salted equi join: the fact side gets a ROW-LEVEL
+    deterministic salt (``salt_expr`` must vary per row, e.g. a hash
+    of a row-unique column set — a per-KEY salt would send every row
+    of a hot key to the same reducer and mitigate nothing); the dim
+    side replicates each row n_salt×. Result ≡ the plain join; a hot
+    key's rows now spread over up to n_salt reducers.
+
+    100 TB note: the manual form of AQE skew-join splitting, kept
+    explicit so the technique is testable and its cost visible (dim
+    inflates n_salt× — in production salt only keys above a frequency
+    threshold)."""
+    sf = fact.withColumn("__salt", F.pmod(salt_expr, F.lit(n_salt)).cast("int"))
+    sd = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s).cast("int") for s in range(n_salt)]))
+    )
+    cond = (sf[fact_key] == sd[dim_key]) & (sf["__salt"] == sd["__salt"])
+    return sf.join(sd, cond, how).drop(sf["__salt"]).drop(sd["__salt"])
+
+
 @register(
     "join_salted_order_revenue",
     oracle="""
@@ -478,29 +506,21 @@ _SALT = 8
     """,
 )
 def join_salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-salted shuffle join, result identical to the plain join.
-
-    The fact side gets a random-free deterministic salt (orderkey %
-    SALT folded into the key); the dim side explodes each row into
-    SALT replicas. A hot l_orderkey now spreads over SALT reducers.
-
-    100 TB note: this is the manual form of AQE skew-join splitting —
-    kept explicit so the technique is testable and the cost visible
-    (dim side inflates SALT×, so salt only the keys that need it in
-    production; here the whole key space is salted for determinism)."""
+    """Skew-salted shuffle join (see salted_join), result identical to
+    the plain join. The row-level salt hashes (l_orderkey,
+    l_linenumber) — unique per lineitem row — so a hot orderkey's
+    rows land on distinct reducers."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-
-    salted_li = li.withColumn("salt", (F.col("l_orderkey") % _SALT).cast("int"))
-    salted_orders = orders.withColumn(
-        "salt", F.explode(F.array(*[F.lit(s) for s in range(_SALT)]))
-    )
-    joined = salted_li.join(
-        salted_orders,
-        (salted_li.l_orderkey == salted_orders.o_orderkey)
-        & (salted_li.salt == salted_orders.salt),
+    joined = salted_join(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        F.xxhash64("l_orderkey", "l_linenumber"),
+        _SALT,
     )
     return (
         joined.groupBy("o_orderpriority")

@@ -82,6 +82,37 @@ def test_filter_complement_partitions_rows(spark, rows):
     assert df.filter(pred).count() + df.filter(~pred).count() == df.count()
 
 
+def test_salted_join_heavy_skew_equals_plain(spark):
+    """salted_join on a 90%-one-key fact must (a) equal the plain
+    join and (b) actually spread the hot key's rows across salts —
+    the property the per-key-salt anti-pattern fails."""
+    from pwir_zadanie_4_mapreduce_spark.operators.advanced import salted_join
+
+    n = 2000
+    fact = spark.range(n).selectExpr(
+        "id AS row_id",
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+        "CAST(id % 7 AS DOUBLE) AS v",
+    )
+    dim = fact.select(F.col("k").alias("dk")).distinct().withColumn(
+        "label", F.concat(F.lit("g"), F.col("dk"))
+    )
+    plain = fact.join(dim, fact.k == dim.dk).groupBy("label").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    salted = salted_join(
+        fact, dim, "k", "dk", F.xxhash64("row_id"), n_salt=8
+    ).groupBy("label").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    assert sorted(plain.collect()) == sorted(salted.collect())
+    hot_salts = (
+        fact.filter(F.col("k") == 0)
+        .select(F.pmod(F.xxhash64("row_id"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert hot_salts >= 6, f"hot key only hit {hot_salts}/8 salts"
+
+
 _edges = st.lists(
     st.tuples(st.integers(min_value=0, max_value=11), st.integers(min_value=0, max_value=11)),
     min_size=0,
