@@ -9,6 +9,7 @@ execution mode (watermarks, windowed state, session windows).
 
 from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (  # noqa: F401
     run_foreach_batch_sink,
+    run_hourly_rollup_sink,
     run_rate_source_demo,
     run_sessionization_stream,
     run_sliding_stream,

@@ -181,6 +181,52 @@ def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> Da
     return spark.read.option("basePath", out_dir).parquet(os.path.join(out_dir, "batch_id=*"))
 
 
+def run_hourly_rollup_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Continuous aggregate (the hypertable-rollup pattern): an hourly
+    per-event-type rollup table maintained incrementally by the
+    stream. Update output mode emits only the (hour, event_type) keys
+    each micro-batch touched — each carrying its CURRENT full
+    aggregate — and foreachBatch overwrites exactly those partitions
+    (dynamic partitionOverwriteMode + partitionBy(hour, event_type)),
+    so replays are idempotent and untouched hours are never rewritten.
+    At 100 TB/day this is how a query-ready rollup stays fresh without
+    ever recomputing history. Returns the rollup read back."""
+    import os
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dround(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd-HH").alias("hour"),
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    rollup_dir = os.path.join(out_dir, "rollup")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour", "event_type")
+            .parquet(rollup_dir)
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("basePath", rollup_dir).parquet(rollup_dir)
+
+
 def run_rate_source_demo(spark: SparkSession, rows_per_batch: int = 100) -> DataFrame:
     """Bounded demo of the rate-micro-batch source (the Kafka-shaped
     generator source): one deterministic batch — values 0..n-1,

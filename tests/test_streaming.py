@@ -126,6 +126,24 @@ def test_foreach_batch_sink_idempotent(spark, tmp_path):
     assert again.count() == src.count()
 
 
+def test_hourly_rollup_sink_equals_batch(spark, tmp_path):
+    """The continuous hourly rollup must equal the batch hourly agg,
+    and a checkpointed re-run must change nothing (idempotent
+    partition overwrites, offsets committed)."""
+    from pwir_zadanie_4_mapreduce_spark.operators.relational import (
+        events_tumbling_hourly,
+    )
+    from pwir_zadanie_4_mapreduce_spark.streaming import run_hourly_rollup_sink
+
+    out = str(tmp_path / "rollup_out")
+    got = run_hourly_rollup_sink(spark, SMOKE_SF, out)
+    batch = events_tumbling_hourly(spark, SMOKE_SF)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    again = run_hourly_rollup_sink(spark, SMOKE_SF, out)
+    assert _rows(again, cols) == _rows(batch, cols)
+
+
 def test_rate_source_demo_deterministic(spark):
     """One bounded rate-micro-batch: 100 values over 1-second windows,
     each second carrying its arithmetic-series sum."""
