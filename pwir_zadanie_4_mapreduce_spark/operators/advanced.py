@@ -1323,3 +1323,40 @@ def text_levenshtein_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("q_id").alias("doc_id"), "min_dist")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH q AS (
+        SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 4) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(o_totalprice, q.lo), q.hi)), 4) AS winsorized_mean,
+           CAST(SUM(CASE WHEN o_totalprice < q.lo OR o_totalprice > q.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM orders, q
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%-clamped) mean — the robust-statistics staple of
+    data-quality monitoring: outliers are clamped to the 5th/95th
+    percentile before averaging. Two passes by necessity (quantiles,
+    then clamp-agg); the quantile result is a single broadcast row.
+    At 100 TB swap F.percentile for approx_percentile and the second
+    pass is unchanged."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    q = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    out_of_range = (F.col("o_totalprice") < F.col("lo")) | (F.col("o_totalprice") > F.col("hi"))
+    return orders.crossJoin(F.broadcast(q)).agg(
+        F.count("*").alias("n"),
+        _r4(F.avg("o_totalprice")).alias("raw_mean"),
+        _r4(F.avg(clamped)).alias("winsorized_mean"),
+        F.sum(out_of_range.cast("int")).alias("n_clamped"),
+    )

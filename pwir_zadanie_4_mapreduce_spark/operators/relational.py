@@ -1129,3 +1129,72 @@ def events_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+@register(
+    "events_session_paths",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                         - epoch_ms(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+                         > 1800000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps),
+    paths AS (
+        SELECT user_id, session_id,
+               array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+        FROM sessions GROUP BY user_id, session_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the 20 most common within-session
+    event-type sequences (same 30-min-gap sessionization as
+    events_sessionization, totally ordered by (ts, event_id)).
+
+    The per-session collect is bounded by session length (watermarked
+    sessions are short by construction), so this is NOT the unbounded
+    collect_list anti-pattern; the path histogram then aggregates to
+    at most distinct-paths rows with map-side partials."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    sessions = ev.withColumn(
+        "is_new_session",
+        F.when(
+            (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)) > 1800000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new_session").over(wcum))
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

@@ -84,3 +84,39 @@ def sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dround(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+STRATUM_K = 3
+
+
+@register(
+    "sample_stratified_orders",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderkey,
+           substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS rank_hash
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8), o_orderkey) <= {STRATUM_K}
+    ORDER BY o_orderpriority, rank_hash
+    """,
+)
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly K=3 orders per
+    priority stratum, chosen by md5-hash order — reproducible across
+    engines and runs, no RNG, balanced across strata by construction
+    (the eval-set recipe when classes are imbalanced). One window
+    shuffle on the stratum key; at 100 TB strata are coarse, so
+    pre-aggregate per-partition top-K first if a stratum is hot."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    rank_hash = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8)
+    w = Window.partitionBy("o_orderpriority").orderBy(rank_hash.asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank_hash", rank_hash)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_K)
+        .select("o_orderpriority", "o_orderkey", "rank_hash")
+        .orderBy("o_orderpriority", "rank_hash")
+    )
