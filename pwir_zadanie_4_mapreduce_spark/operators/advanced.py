@@ -1360,3 +1360,53 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.avg(clamped)).alias("winsorized_mean"),
         F.sum(out_of_range.cast("int")).alias("n_clamped"),
     )
+
+
+@register(
+    "quality_null_audit",
+    oracle="""
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                      CAST(COUNT(o_orderkey) AS BIGINT) AS c1,
+                      CAST(COUNT(o_custkey) AS BIGINT) AS c2,
+                      CAST(COUNT(o_orderstatus) AS BIGINT) AS c3,
+                      CAST(COUNT(o_totalprice) AS BIGINT) AS c4,
+                      CAST(COUNT(o_orderdate) AS BIGINT) AS c5,
+                      CAST(COUNT(o_orderpriority) AS BIGINT) AS c6
+               FROM orders)
+    SELECT col AS column_name, total - c AS n_null,
+           ROUND((total - c)::DOUBLE / total, 6) AS null_frac
+    FROM t UNPIVOT (c FOR col IN (c1 AS 'o_orderkey', c2 AS 'o_custkey',
+                                  c3 AS 'o_orderstatus', c4 AS 'o_totalprice',
+                                  c5 AS 'o_orderdate', c6 AS 'o_orderpriority'))
+    ORDER BY column_name
+    """,
+)
+def quality_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null audit over orders — the data-quality profiling
+    pass every ingestion runs. ONE aggregation computes every
+    per-column non-null count (map-side partials, one shuffled row),
+    then a driver-free unpivot turns it long. Never N scans — column
+    count is plan width, not pass count."""
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    agg = orders.agg(
+        F.count("*").alias("total"), *[F.count(c).alias(f"c_{c}") for c in cols]
+    )
+    pairs = F.create_map(
+        *[x for c in cols for x in (F.lit(c), F.col(f"c_{c}"))]
+    )
+    exploded = agg.select("total", F.explode(pairs).alias("column_name", "c"))
+    return exploded.select(
+        "column_name",
+        (F.col("total") - F.col("c")).alias("n_null"),
+        dround((F.col("total") - F.col("c")).cast("double") / F.col("total"), 6).alias(
+            "null_frac"
+        ),
+    ).orderBy("column_name")
