@@ -931,7 +931,7 @@ def scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_list",
     oracle="""
     SELECT o_orderpriority,
-           list(o_orderkey ORDER BY o_orderkey) AS top_keys
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS top_keys
     FROM (
       SELECT o_orderpriority, o_orderkey,
              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
@@ -944,13 +944,19 @@ def scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list into a deterministic (sorted) array per group —
     collect_list order is partition-dependent, so sort_array makes the
-    result reproducible cross-run and cross-engine."""
+    result reproducible cross-run and cross-engine. The array is
+    emitted as a comma-joined string: cross-engine comparison tooling
+    (pandas-based canonicalizers) cannot sort/hash ndarray cells."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
     top = orders.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
     return (
         top.groupBy("o_orderpriority")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("top_keys"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"), ","
+            ).alias("top_keys")
+        )
         .orderBy("o_orderpriority")
     )
 
@@ -991,8 +997,8 @@ def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map_functions",
     oracle="""
     SELECT user_id,
-           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
-           COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
            COUNT(DISTINCT event_type) AS n_types
     FROM events
     WHERE user_id < 50

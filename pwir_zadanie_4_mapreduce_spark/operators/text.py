@@ -294,6 +294,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.element_at(hashes, 1).alias("min_gram_hash"),
         F.element_at(hashes, -1).alias("max_gram_hash"),
-        F.slice(hashes, 1, 4).alias("min_sketch"),
+        F.array_join(F.slice(hashes, 1, 4).cast("array<string>"), ",").alias("min_sketch"),
         F.size(hashes).alias("n_distinct_grams"),
     ).orderBy("doc_id")
