@@ -13,5 +13,6 @@ from pwir_zadanie_4_mapreduce_spark.operators import (  # noqa: F401
     sampling,
     similarity,
     text,
+    tpch,
 )
 from pwir_zadanie_4_mapreduce_spark.operators.registry import ORACLES, QUERIES  # noqa: F401
