@@ -1,0 +1,528 @@
+"""Round-2 analytics operators: warehouse maintenance shapes (MERGE
+upsert, SCD2 history build), classic SQL idioms (gaps-and-islands,
+argmax-per-group, median/mode), product analytics (retention cohorts,
+RFM segmentation, interval-overlap join), and LLM-pipeline text/array
+ops (TF-IDF, higher-order array functions, mergeable HLL sketches).
+
+Every operator is a pure DataFrame plan (no driver-side loops, no
+collect in the hot path) so Catalyst handles pushdown/pruning and the
+shapes scale by partitioning alone. The reference
+(storaged/PWiR-zadanie-4-MapReduce) contains none of these — they
+generalize its map/reduce surface (SURVEY.md §2.1 O5-O8) the same way
+the round-1 relational suite does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
+from pwir_zadanie_4_mapreduce_spark.functions.textfn import tokenize
+from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE user_id < 200),
+    num AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS grp
+        FROM days)
+    SELECT user_id, CAST(MIN(d) AS TIMESTAMP) AS island_start,
+           CAST(MAX(d) AS TIMESTAMP) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM num GROUP BY user_id, grp
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, island_start
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user (streak detection). The classic row_number trick — a date
+    minus its per-user rank is constant within a consecutive run — so
+    the whole thing is one window pass + one aggregation, no self-join
+    over the date dimension. Scale: both shuffle on user_id; skew is
+    bounded by days-per-user, not corpus size."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    num = days.withColumn("grp", F.date_sub("d", F.row_number().over(w)))
+    return (
+        num.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").cast("timestamp").alias("island_start"),
+            F.max("d").cast("timestamp").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 3)
+        .select("user_id", "island_start", "island_end", "n_days")
+        .orderBy("user_id", "island_start")
+    )
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag, ROUND(median(l_quantity), 4) AS median_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag),
+    m AS (
+        SELECT l_returnflag, l_linestatus AS mode_status
+        FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+              FROM lineitem GROUP BY 1, 2)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                   ORDER BY c DESC, l_linestatus) = 1)
+    SELECT med.l_returnflag, med.median_qty, med.n, m.mode_status
+    FROM med JOIN m USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + deterministic mode per group. Spark's F.mode breaks
+    ties arbitrarily, so the mode is spelled as count + row_number
+    with an explicit tie-break (highest count, then lexicographic) —
+    the only way the answer is stable cross-run AND cross-engine.
+    Median is the exact interpolated percentile; at 100 TB swap in
+    approx_percentile (t-digest) — same plan shape, bounded memory."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        dround(F.median("l_quantity"), 4).alias("median_qty"),
+        F.count("*").alias("n"),
+    )
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), "l_linestatus")
+    mode = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_status"))
+    )
+    return (
+        med.join(mode, "l_returnflag")
+        .select("l_returnflag", "median_qty", "n", "mode_status")
+        .orderBy("l_returnflag")
+    )
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Generic MERGE/upsert: one full-outer join on the key; update
+    rows take the batch value, unmatched base rows pass through,
+    unmatched batch rows insert. Returns the merged snapshot plus an
+    ``action`` audit column.
+
+    At 100 TB this is the Delta/Iceberg MERGE INTO shape executed as a
+    plain join: with base bucketed (or z-ordered) on the key, only the
+    touched files rewrite; the full-outer join itself shuffles the
+    small batch against a pruned base scan. Columns other than the key
+    are coalesced batch-first."""
+    b, u = base.alias("b"), updates.alias("u")
+    cols = [c for c in base.columns if c != key]
+    merged = b.join(u, F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer")
+    action = (
+        F.when(F.col(f"b.{key}").isNull(), "inserted")
+        .when(F.col(f"u.{key}").isNull(), "unchanged")
+        .otherwise("updated")
+    )
+    picked = [F.coalesce(F.col(f"b.{key}"), F.col(f"u.{key}")).alias(key)]
+    u_cols = set(updates.columns)
+    for c in cols:
+        picked.append(
+            F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+            if c in u_cols
+            else F.col(f"b.{c}").alias(c)
+        )
+    return merged.select(*picked, action.alias("action"))
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+               o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 0),
+    merged AS (
+        SELECT CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+                    WHEN u.o_orderkey IS NULL THEN 'unchanged'
+                    ELSE 'updated' END AS action,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS price
+        FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey)
+    SELECT action, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(price), 2) AS sum_price
+    FROM merged GROUP BY action ORDER BY action
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO exercised on orders: a synthetic batch updates every
+    7th order's price (+10%) and inserts a shifted-key copy of every
+    13th; the audit rollup (rows + price checksum per action) verifies
+    the merge semantics end-to-end against the oracle's FULL OUTER
+    spelling."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    max_key = orders.agg((F.max("o_orderkey") + 1).alias("mk"))
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", dround(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice")
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .crossJoin(F.broadcast(max_key))
+        .select((F.col("o_orderkey") + F.col("mk")).alias("o_orderkey"), "o_totalprice")
+    )
+    merged = merge_upsert(orders, updates.unionByName(inserts), "o_orderkey")
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("action")
+    )
+
+
+@register(
+    "scd2_user_value_history",
+    oracle="""
+    SELECT user_id, event_id AS version_id, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           ROUND(value, 4) AS value,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL AS is_current
+    FROM events WHERE user_id < 20
+    ORDER BY user_id, valid_from, version_id
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: each observed (user, value) becomes a
+    version row with [valid_from, valid_to) derived from the next
+    observation via LEAD — open-ended (NULL) for the current version.
+    One window pass, no self-join; the 100 TB version is identical
+    with the window partitioned on the natural key (perfectly
+    parallel, state bounded by versions-per-key)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            dround(F.col("value"), 4).alias("value"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "version_id")
+    )
+
+
+@register(
+    "agg_argmax_doc_per_source",
+    oracle="""
+    SELECT source, doc_id, n_chars,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM (SELECT source, doc_id, n_chars,
+                 COUNT(*) OVER (PARTITION BY source) AS n_docs,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents)
+    WHERE rk = 1
+    ORDER BY source
+    """,
+)
+def agg_argmax_doc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group: the longest document per source (tie → lowest
+    doc_id). Spelled as a single window pass; max_by would be one
+    aggregation cheaper but ties non-deterministically — correctness
+    beats the saved pass. At scale the window partitions on source;
+    a two-phase (per-partition argmax, then final) rewrite applies if
+    a single source dominates."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source")
+    return (
+        docs.withColumn("n_docs", F.count("*").over(w))
+        .withColumn(
+            "rk", F.row_number().over(w.orderBy(F.desc("n_chars"), "doc_id"))
+        )
+        .filter(F.col("rk") == 1)
+        .select("source", "doc_id", "n_chars", "n_docs")
+        .orderBy("source")
+    )
+
+
+@register(
+    "array_higher_order_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+           len(list_filter(v, x -> x > 2.0)) > 0 AS any_big,
+           len(list_filter(v, x -> abs(x) >= 5.0)) = 0 AS all_small,
+           ROUND(list_sum(list_transform(v, x -> abs(x))), 4) AS l1
+    FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 200)
+    ORDER BY vec_id
+    """,
+)
+def array_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/exists/forall/aggregate)
+    over the embedding column — all JVM-side Catalyst lambdas, zero
+    Python. The L1 norm folds left-to-right exactly like DuckDB's
+    list_sum, so doubles agree bit-for-bit pre-rounding."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    prepped = e.select("vec_id", v.alias("v"))
+    return (
+        prepped.select(
+            "vec_id",
+            F.size(F.filter("v", lambda x: x > 0)).alias("n_pos"),
+            F.exists("v", lambda x: x > 2.0).alias("any_big"),
+            F.forall("v", lambda x: F.abs(x) < 5.0).alias("all_small"),
+            dround(
+                F.aggregate("v", F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
+            ).alias("l1"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH user_weeks AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events),
+    cohorts AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM user_weeks GROUP BY user_id)
+    SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(datediff('day', c.cohort_week, w.wk) / 7 AS INTEGER)
+               AS week_offset,
+           COUNT(DISTINCT w.user_id) AS n_users
+    FROM user_weeks w JOIN cohorts c USING (user_id)
+    WHERE datediff('day', c.cohort_week, w.wk) / 7 <= 8
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-active week;
+    n_users still active at each week offset (0-8). Two aggregations
+    on user_id (same shuffle key, reused) + one join. The analytics
+    staple for any event stream; at 100 TB cohort assignment is a
+    once-per-user dimension you'd materialize incrementally rather
+    than re-derive (the plan is identical either way)."""
+    ev = load_table(spark, sf_dir, "events")
+    user_weeks = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    offset = (F.datediff("wk", "cohort_week") / 7).cast("int")
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .select("user_id", "cohort_week", offset.alias("week_offset"))
+        .filter(F.col("week_offset") <= 8)
+        .groupBy(F.col("cohort_week").cast("timestamp").alias("cohort_week"), F.col("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               datediff('day', CAST(MAX(ts) AS DATE),
+                        (SELECT CAST(MAX(ts) AS DATE) FROM events))
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               ROUND(SUM(value), 4) AS monetary
+        FROM events GROUP BY user_id)
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS INTEGER) AS r_q,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_q,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER) AS m_q
+    FROM per_user ORDER BY user_id
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary, each
+    quartiled by NTILE with a user_id tie-break (the tie-break is what
+    makes quartile membership deterministic cross-engine). The three
+    global windows are unpartitioned — fine for per-user rollups
+    (users ≪ events); at true scale NTILE over a global order becomes
+    percent_rank over pre-aggregated quantile boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.to_date(F.max("ts")).alias("ref_d"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.to_date(F.max("ts")).alias("last_d"),
+            F.count("*").alias("frequency"),
+            dround(F.sum("value"), 4).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.datediff("ref_d", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m_q"),
+    ).orderBy("user_id")
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        FROM documents),
+    toks_f AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks_f GROUP BY doc_id, term),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           ROUND(tf * ln(n_docs / CAST(df AS DOUBLE)), 4) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE doc_id < 30
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id
+        ORDER BY ROUND(tf * ln(n_docs / CAST(df AS DOUBLE)), 4) DESC, term) <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (docs 0-29; document frequency
+    computed over the FULL corpus). Inverted-index shape: explode
+    tokens → tf per (doc, term) → df per term → join back. The ranking
+    orders by the ROUNDED score so cross-engine ln() ULP noise can't
+    flip near-ties; term is the final tie-break. At 100 TB the df
+    table is the only corpus-global state — small (vocab-sized),
+    broadcastable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    tfidf = dround(
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")), 4
+    )
+    scored = (
+        tf.filter(F.col("doc_id") < 30)
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
+@register(
+    "join_interval_overlap_events",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           ROUND(COUNT(e.event_id) /
+                 CAST(COUNT(DISTINCT o.o_orderkey) AS DOUBLE), 4)
+               AS events_per_order
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_custkey < 100
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: events landing inside each order's
+    7-day window (equi key user=cust + time-range predicate), rolled
+    up per priority. The equi component keeps this a hash join with a
+    range residual — NOT a cross join; at 100 TB both sides
+    partition on the user key and the range predicate evaluates
+    within partitions. (Banded time-bucketing is the refinement when
+    a single user's event history is itself huge.)"""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    cond = (
+        (events.user_id == orders.o_custkey)
+        & (events.ts >= orders.o_orderdate)
+        & (events.ts < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
+    )
+    joined = orders.join(events, cond, "left")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("event_id").alias("n_events"),
+            dround(
+                F.count("event_id") / F.countDistinct("o_orderkey").cast("double"), 4
+            ).alias("events_per_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("agg_hll_sketch_users")  # rows-only: sketch estimates are library-specific
+def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — THE 100 TB cardinality
+    pattern: one HLL sketch per (event_type, day) partition, merged
+    per type with hll_union_agg, estimated once. Re-aggregating
+    pre-computed daily sketches replaces a full re-scan; the estimate
+    is checked against the exact distinct count (rel_err asserted
+    < 5% in tests/test_analytics.py — Datasketches HLL at lgK=12 has
+    ~1.6% RSE)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "est_users",
+            "exact_users",
+            dround(
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

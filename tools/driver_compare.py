@@ -1,0 +1,140 @@
+"""Driver-style correctness pre-flight at sf0.01.
+
+Mimics the driver's CORRECTNESS_r{N}.json comparison more strictly than
+tests/test_oracle_parity.py: both sides go through pandas (the driver's
+canonicalizer is pandas-based — see the round-1 failure trace in
+CORRECTNESS_r01.json `agg_collect_sorted_list`), so anything pandas
+can't sort/hash (ndarray cells) or that differs in dtype *kind*
+(int vs float, object vs numeric) is caught here before the driver
+sees it.
+
+Usage:
+    python tools/driver_compare.py [query ...]   # default: all oracled
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_COMPARE_SF", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon_frame(df):
+    """Canonicalize a pandas frame the way a value-hasher would:
+    columns sorted by name, rows sorted, cells stringified."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        try:
+            if pd.isna(v):
+                return "NULL"
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                # collapse 5.0 vs 5 only when the column kind differs is
+                # NOT done — the driver wouldn't either; keep float form.
+                return f"{v:.4f}"
+            return f"{v:.4f}"
+        if isinstance(v, bool):
+            return str(int(v))
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return str(v)
+
+    for c in df.columns:
+        df[c] = df[c].map(cell)
+    rows = sorted("|".join(r) for r in df.itertuples(index=False, name=None))
+    return rows
+
+
+def _kind(dtype) -> str:
+    import numpy as np
+
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "b":
+        return "bool"
+    return "object"
+
+
+def main(argv: list[str]) -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pwir_zadanie_4_mapreduce_spark.session import build_session
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = argv or sorted(oracles)
+
+    spark = build_session(cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "16")))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failures = []
+    for name in names:
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle")
+            continue
+        t0 = time.monotonic()
+        try:
+            spdf = queries[name](spark, SF_DIR).toPandas()
+            ddf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: exception {exc!r}")
+            continue
+        probs = []
+        if sorted(spdf.columns) != sorted(ddf.columns):
+            probs.append(f"columns spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}")
+        if len(spdf) != len(ddf):
+            probs.append(f"rows spark={len(spdf)} duck={len(ddf)}")
+        if not probs:
+            for c in sorted(spdf.columns):
+                ks, kd = _kind(spdf[c].dtype), _kind(ddf[c].dtype)
+                if ks != kd:
+                    probs.append(f"dtype kind {c}: spark={spdf[c].dtype} duck={ddf[c].dtype}")
+        if not probs:
+            try:
+                s_rows, d_rows = _canon_frame(spdf), _canon_frame(ddf)
+            except Exception as exc:  # noqa: BLE001
+                probs.append(f"canonicalize error (driver would err too): {exc!r}")
+            else:
+                diff = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+                if diff:
+                    probs.append(f"{len(diff)} differing rows, first: {diff[:2]}")
+        dt = time.monotonic() - t0
+        if probs:
+            failures.append(name)
+            print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(probs))
+        else:
+            print(f"ok   {name} ({dt:.1f}s)")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} ok; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
