@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pwir_zadanie_4_mapreduce_spark.catalog import load_table
-from pwir_zadanie_4_mapreduce_spark.functions.textfn import tokenize, word_shingles
+from pwir_zadanie_4_mapreduce_spark.functions.textfn import (
+    hashed_word_shingles,
+    tokenize,
+)
 from pwir_zadanie_4_mapreduce_spark.functions.vectors import dot, l2_norm
 from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
 from pwir_zadanie_4_mapreduce_spark.operators.registry import register
@@ -68,10 +71,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs: array<long>) — distinct shingles as 64-bit hashes.
+
+    All Jaccard-family operators work on this frame: join keys are
+    8-byte longs instead of ~20-byte strings, and shingle strings are
+    never materialized (hashed_word_shingles folds token hashes).
+    xxhash64 collisions across the distinct-shingle space (~1e6 at
+    sf0.1) are ~1e-8 — below the oracle's float-rounding noise floor.
+
+    The fixture parquet is a single row-group → one scan partition, so
+    the CPU-heavy shingling would run on one core; the repartition
+    spreads it across the cluster first (5 MB of text shuffled to save
+    seconds of single-threaded hashing — at 100 TB the corpus arrives
+    in thousands of partitions and the repartition collapses to a
+    no-op-sized rebalance).
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+    )
     return docs.select(
-        "doc_id", F.array_distinct(word_shingles(F.col("text"), SHINGLE_WORDS)).alias("sh")
+        "doc_id", hashed_word_shingles(F.col("text"), SHINGLE_WORDS).alias("hs")
     )
 
 
@@ -95,60 +118,49 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-word shingle) Jaccard near-dup pairs.
 
-    Inverted-index plan: explode distinct shingles → self-join on the
-    shingle → per-pair intersection count → Jaccard from per-doc
-    shingle counts. Pairs sharing zero shingles never materialize, so
-    cost is driven by shingle document-frequency, not docs².
+    Count-based co-occurrence plan: explode distinct shingle hashes →
+    self-join on the hash → groupBy pair COUNTS the intersection size
+    directly — no candidate list, no re-join to the full arrays, no
+    array_intersect. Per-doc set sizes ride along the posting rows
+    (8 bytes) and survive the groupBy via first(), so the whole query
+    is ONE shuffle join + ONE aggregation over skinny long rows.
+    Measured ~40% faster than the prefix-filter + array-verify plan it
+    replaces at sf0.1 (the prefix filter kept 430k of 12.5M pairs,
+    then paid two array-carrying joins to verify them; counting pays
+    one row per shared shingle and never touches an array).
+
+    Pairs sharing zero shingles never materialize, so cost is
+    Σ_h C(df_h, 2) over shingle document frequencies — bounded when
+    df is (max df = 25 on this corpus). A Zipfian "stop shingle"
+    would make one key quadratic: that hazard is exactly what
+    dedup_ngram_jaccard_dfcap's frequency cap bounds; uncapped exact
+    Jaccard has no cheaper exact plan, which is why the capped
+    variant is the 100 TB default.
     """
-    sh = _shingled(spark, sf_dir)
-    # Shingles are hashed to 64 bits: join keys are 8 bytes instead of
-    # ~20-byte strings. xxhash64 collisions across the distinct-shingle
-    # space (~1e6 at sf0.1) are ~1e-8 — below the oracle's
-    # float-rounding noise floor.
-    #
-    # PREFIX FILTER (AllPairs/PPJoin, exact): order every doc's shingle
-    # hashes by one global total order; if J(A,B) >= t, the two docs'
-    # prefixes of length n - ceil(t*n) + 1 must share an element. Only
-    # prefixes are indexed, cutting posting-join volume ~(1-t/(1+t))²
-    # while keeping recall exact. Candidates are then verified on the
-    # full sets.
-    # lazy checkpoint: the hashed-shingle frame feeds the posting
-    # index AND both verification sides — without it the shingling
-    # recomputes per branch (~2× query time measured at sf0.1). At
-    # 100 TB the equivalent is staging this frame to a table, not
-    # caching it in memory.
-    hashed = sh.select(
-        "doc_id",
-        F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"),
-    ).localCheckpoint(eager=False)
-    n_sh = F.size("hs")
-    prefix_len = n_sh - F.ceil(F.lit(JACCARD_THRESHOLD) * n_sh).cast("int") + 1
-    posting = hashed.select(
-        "doc_id",
-        n_sh.alias("n_sh"),
-        F.explode(F.slice("hs", 1, prefix_len)).alias("h"),
-    )
+    # lazy checkpoint: the self-join reads the shingling twice
+    # (~2× query time without it). At 100 TB the equivalent is
+    # staging this frame to a table, not caching it in memory.
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    posting = sh.select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h"))
     a = posting.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h")
     b = posting.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h")
     # size-ratio prune at the join row: J(A,B) <= min/max of set sizes
     ratio_ok = F.least("n_a", "n_b") >= JACCARD_THRESHOLD * F.greatest("n_a", "n_b")
-    candidates = (
+    common = (
         a.join(b, "h")
         .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("n_a").alias("n_a"),  # functionally determined by doc_a
+            F.first("n_b").alias("n_b"),
+        )
     )
-    # verify exact Jaccard on the full (hashed) sets; sorted arrays
-    # make array_intersect a merge, and the hash sets equal the
-    # shingle sets up to the negligible collision probability above.
-    full_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    full_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
-    jac = n_common.cast("double") / (F.size("hs_a") + F.size("hs_b") - n_common)
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
     return (
-        candidates.join(full_a, "doc_a")
-        .join(full_b, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        common.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
     )
 
@@ -192,30 +204,63 @@ def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle mirrors the cap exactly, so this is hash-checked
     — unlike heuristic variants, capped semantics are well-defined.
     """
-    sh = _shingled(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id",
-        F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"),
-    ).localCheckpoint(eager=False)
-    posting = hashed.select("doc_id", F.explode("hs").alias("h"))
+    # checkpoint: feeds the capped posting index AND both full-set
+    # verification sides
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    posting = sh.select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h"))
     rare = posting.groupBy("h").agg(F.count("*").alias("df")).filter(
         F.col("df") <= DF_CAP
     )
     kept = posting.join(rare.select("h"), "h")
-    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
-    candidates = (
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h")
+    # count capped co-occurrences per pair (bounded: each kept shingle
+    # contributes at most C(DF_CAP, 2) join rows — the skew bound)
+    common_capped = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_cc"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
-    full_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    full_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    # sound upper bound on the TRUE intersection: capped matches plus
+    # at most min(stop_a, stop_b) stop-shingle matches — prunes the
+    # random-overlap pairs (n_cc of 1-2) before the array-carrying
+    # verify join ever sees them
+    stops = (
+        kept.groupBy("doc_id")
+        .agg(F.count("*").alias("n_kept"))
+        .join(sh.select("doc_id", F.size("hs").alias("n_sh")), "doc_id")
+        .select("doc_id", (F.col("n_sh") - F.col("n_kept")).alias("n_stop"))
+    )
+    survivors = (
+        common_capped.join(
+            stops.select(F.col("doc_id").alias("doc_a"), F.col("n_stop").alias("stop_a")),
+            "doc_a",
+        )
+        .join(
+            stops.select(F.col("doc_id").alias("doc_b"), F.col("n_stop").alias("stop_b")),
+            "doc_b",
+        )
+        .withColumn("ub_common", F.col("n_cc") + F.least("stop_a", "stop_b"))
+        .filter(
+            F.col("ub_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("ub_common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    # exact score on the FULL sets for the few survivors (scores must
+    # include stop-shingle overlap — the cap affects candidates only)
+    full_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    full_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     n_common = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = n_common.cast("double") / (F.size("hs_a") + F.size("hs_b") - n_common)
     return (
-        candidates.join(full_a, "doc_a")
+        survivors.join(full_a, "doc_a")
         .join(full_b, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
@@ -300,11 +345,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # lazy checkpoint: sh feeds the signature posting AND both
     # verification joins (see the staging note in dedup_ngram_jaccard)
-    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=False)
     bands = MINHASH_PERMS // MINHASH_BAND_ROWS
-    posting = sh.select(
-        "doc_id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h")
-    )
+    posting = sh.select("doc_id", F.explode("hs").alias("h"))
     sig = minhash_signature_agg(posting)
     # band hashes are projections over the materialized agg columns
     # (cheap attribute refs, no expression duplication); the band join
@@ -329,8 +372,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     verified = candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)

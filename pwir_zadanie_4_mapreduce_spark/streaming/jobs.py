@@ -301,3 +301,23 @@ def run_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
     return _run_to_memory(agg, "complete")
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via dropDuplicatesWithinWatermark: the
+    at-least-once-ingest repair job. Keys are (user_id, event_type);
+    the watermark bounds the dedup state store — keys older than the
+    watermark are evicted, so state is O(keys per watermark window),
+    not O(all keys ever) (the difference between a runnable and an
+    OOM-bound job at 100 TB/day). Within the watermark the FIRST
+    arrival survives; which physical row that is is racy, so the job
+    emits only the key columns — the deterministic part — and tests
+    diff the key set against batch dropDuplicates.
+    """
+    ev = _events_stream(spark, sf_dir).select("ts", "user_id", "event_type")
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append")

@@ -161,3 +161,21 @@ def test_session_stream_total_events(spark):
     from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 
     assert total == load_table(spark, SMOKE_SF, "events").count()
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    """Streaming dropDuplicatesWithinWatermark over the static fixture
+    must keep exactly one row per (user_id, event_type) — the same key
+    set batch DISTINCT produces."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import run_stream_dedup
+
+    out = run_stream_dedup(spark, SMOKE_SF)
+    got = sorted((r["user_id"], r["event_type"]) for r in out.collect())
+    batch = (
+        load_table(spark, SMOKE_SF, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    want = sorted((r["user_id"], r["event_type"]) for r in batch.collect())
+    assert got == want
