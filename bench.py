@@ -53,6 +53,13 @@ HEADLINE = [
     "sim_topk_ivf",
     "text_quality_score",
     "multimodal_decode_features",
+    # round-2 additions: warehouse + analytics + text/sketch families
+    "merge_upsert_orders",
+    "window_gaps_islands",
+    "events_retention_cohorts",
+    "text_tfidf_top_terms",
+    "agg_hll_sketch_users",
+    "quality_decontamination",
 ]
 
 

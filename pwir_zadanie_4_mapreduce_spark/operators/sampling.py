@@ -120,3 +120,46 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "o_orderkey", "rank_hash")
         .orderBy("o_orderpriority", "rank_hash")
     )
+
+
+KNUTH_MULT = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hash
+HASH_MOD = 4294967296  # 2^32
+
+
+@register(
+    "sample_weighted_quality",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+    SELECT doc_id, n_chars,
+           ROUND(((doc_id * {KNUTH_MULT}) % {HASH_MOD}) / {HASH_MOD}.0, 6) AS u
+    FROM documents, mx
+    WHERE ((doc_id * {KNUTH_MULT}) % {HASH_MOD}) / {HASH_MOD}.0
+          < n_chars / CAST(max_chars AS DOUBLE)
+    ORDER BY doc_id
+    """,
+)
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance-weighted sampling: keep each document
+    with probability proportional to its quality proxy (n_chars /
+    corpus max) — the quality-upsampling step of a training-data mix,
+    made reproducible. The acceptance variate u is a Knuth
+    multiplicative hash of doc_id mapped to [0,1): exact integer
+    arithmetic both engines reproduce bit-for-bit (md5-hex compares
+    cover the unweighted splits; a continuous threshold needs a
+    numeric variate). Membership is subset-invariant — re-ingesting
+    the corpus never flips a kept row.
+
+    Pure projection + broadcast scalar (corpus max): no shuffle on
+    the kept path; at 100 TB the weight column comes from the quality
+    scorer and the same predicate runs inside the scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    u = F.pmod(F.col("doc_id") * F.lit(KNUTH_MULT), F.lit(HASH_MOD)) / F.lit(
+        float(HASH_MOD)
+    )
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .filter(u < F.col("n_chars") / F.col("max_chars").cast("double"))
+        .select("doc_id", "n_chars", dround(u, 6).alias("u"))
+        .orderBy("doc_id")
+    )

@@ -297,3 +297,65 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(hashes, 1, 4).cast("array<string>"), ",").alias("min_sketch"),
         F.size(hashes).alias("n_distinct_grams"),
     ).orderBy("doc_id")
+
+
+DECONTAM_SHINGLE_WORDS = 5
+BENCH_MOD = 97  # doc_id % 97 == 0 stands in for the held-out eval set
+
+
+@register(
+    "quality_decontamination",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - {DECONTAM_SHINGLE_WORDS - 1}, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+{DECONTAM_SHINGLE_WORDS - 1}], ' '))) AS sh
+        FROM documents),
+    b AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM t
+          WHERE doc_id % {BENCH_MOD} = 0),
+    tr AS (SELECT doc_id, unnest(sh) AS s FROM t
+           WHERE doc_id % {BENCH_MOD} <> 0)
+    SELECT tr.doc_id,
+           COUNT(DISTINCT tr.s) AS n_shared_shingles,
+           MIN(b.bench_id) AS first_bench_hit
+    FROM tr JOIN b ON tr.s = b.s
+    GROUP BY tr.doc_id ORDER BY tr.doc_id
+    """,
+)
+def quality_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-integrity gate every
+    training corpus must pass: flag training documents sharing any
+    5-word shingle with the held-out eval set (docs with
+    doc_id % 97 == 0 stand in for it). Reports the shared-shingle
+    count and the first benchmark doc hit, per contaminated doc.
+
+    Plan: one shingle pass over the corpus, split into bench/train
+    postings, inner-join on the shingle hash. The bench side is
+    eval-suite-sized (tiny by definition) → broadcast, so the train
+    side never shuffles: at 100 TB this is a broadcast-filter scan,
+    the same shape as a bloom-filter probe. Shingles are 64-bit
+    token-hash folds (functions/textfn.hashed_word_shingles) — the
+    oracle's string shingles agree up to xxhash64 collisions.
+    """
+    from pwir_zadanie_4_mapreduce_spark.functions.textfn import hashed_word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    posting = docs.select(
+        "doc_id",
+        F.explode(
+            hashed_word_shingles(F.col("text"), DECONTAM_SHINGLE_WORDS)
+        ).alias("s"),
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = posting.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "s")
+    train = posting.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.min("bench_id").alias("first_bench_hit"),
+        )
+        .orderBy("doc_id")
+    )
