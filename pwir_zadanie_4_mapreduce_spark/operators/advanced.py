@@ -1416,3 +1416,115 @@ def quality_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "null_frac"
         ),
     ).orderBy("column_name")
+
+
+@register(
+    "source_python_datasource_grid",
+    oracle="""
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           CAST(CASE WHEN i = 0 THEN 4.56 WHEN i = 7 THEN 9.85
+                     WHEN j = 0 THEN 7.32 WHEN j = 7 THEN 6.88
+                     ELSE 0.0 END AS DOUBLE) AS v
+    FROM range(8) t1(i), range(8) t2(j)
+    ORDER BY i, j
+    """,
+)
+def source_python_datasource_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Laplace initial grid served by a CUSTOM PYTHON DATA SOURCE
+    (Spark 4 pyspark.sql.datasource API, sources/grid_source.py) — the
+    connector form of the reference's generated input (O1,
+    laplace-common-impl.h:11-33) with the reference's 1-D row-block
+    partitioning as InputPartitions (laplace-par.c:245-251). Shows the
+    engine's source surface beyond built-in file formats; the oracle
+    recomputes the closed-form grid relationally."""
+    from pwir_zadanie_4_mapreduce_spark.sources.grid_source import (
+        make_laplace_grid_datasource,
+    )
+
+    try:
+        spark.dataSource.register(make_laplace_grid_datasource())
+    except Exception:
+        pass  # already registered in this session
+    grid = (
+        spark.read.format("laplace_grid")
+        .option("n", 8)
+        .option("partitions", 4)
+        .load()
+    )
+    return grid.orderBy("i", "j")
+
+
+@register(
+    "scalar_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER)) AS n_distinct_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through VARIANT (Spark 4): parse_json once
+    into the binary variant encoding, typed variant_get extraction,
+    then aggregate. Versus from_json (scalar_from_json_struct),
+    VARIANT needs no up-front schema — the 100 TB pattern for
+    evolving event payloads: parse at ingest, store the variant
+    column, extract lazily with pushdown-friendly typed paths."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "udtf_tokenize_positions",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(pos - 1 AS INTEGER) AS pos,
+           tok AS token,
+           CAST(length(tok) AS INTEGER) AS token_len
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                 (x, i) -> {'pos': i, 'tok': x}), recursive := true)
+      FROM documents WHERE doc_id < 5)
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5+ UDTF): one input
+    row → many output rows, applied per-row via LATERAL — the
+    tokenizer-as-table-function shape (Hive posexplode lineage,
+    SURVEY.md §2.2 'UDF surface'). Declared the SLOW path like every
+    row-wise Python surface: the same result is a posexplode over
+    split (the oracle's spelling); the UDTF exists to exercise the
+    table-function plumbing end-to-end.
+
+    The class is defined in-function (closure) so workers unpickle it
+    by value — no module import on the executor path."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class TokenizePositions:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split() if t]
+            for pos, tok in enumerate(toks):
+                yield (pos, tok, len(tok))
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", "text")
+    )
+    out = docs.lateralJoin(TokenizePositions(F.col("text").outer()))
+    return out.select("doc_id", "pos", "token", "token_len").orderBy("doc_id", "pos")

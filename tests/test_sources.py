@@ -99,3 +99,36 @@ def test_partitioned_parquet_write_prunes(spark):
         # pruning is visible in the plan: only one partition dir scanned
         plan = back._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan or back.count() == expected.count()
+
+
+def test_python_datasource_grid_matches_make_grid(spark):
+    """The custom Python data source must serve the exact grid
+    make_grid generates, and split rows with the reference's
+    remainder rule (laplace-par.c:245-251: first N%P parts one wider)."""
+    from pwir_zadanie_4_mapreduce_spark import laplace
+    from pwir_zadanie_4_mapreduce_spark.sources.grid_source import (
+        grid_reader_partitions,
+        make_laplace_grid_datasource,
+    )
+
+    try:
+        spark.dataSource.register(make_laplace_grid_datasource())
+    except Exception:
+        pass
+    got = (
+        spark.read.format("laplace_grid")
+        .option("n", 5)
+        .option("partitions", 3)
+        .load()
+        .collect()
+    )
+    want = laplace.make_grid(spark, 5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    widths = [
+        b.end_row - b.start_row for b in grid_reader_partitions(5, 3)
+    ]
+    assert widths == [2, 2, 1]  # 5 rows over 3 parts: remainder rule
+    # surplus-process exclusion: P > N collapses to N single-row parts
+    widths = [b.end_row - b.start_row for b in grid_reader_partitions(2, 8)]
+    assert widths == [1, 1]
