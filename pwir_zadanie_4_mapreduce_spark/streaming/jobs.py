@@ -321,3 +321,81 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _run_to_memory(deduped, "append")
+
+
+def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via transformWithStateInPandas —
+    the Spark 4 successor to applyInPandasWithState (typed state
+    variables on a StatefulProcessorHandle, timers, evolvable state
+    schema). Same topology as run_stateful_user_totals so the two
+    APIs are directly comparable: per-user value statistics carried
+    in a ValueState across micro-batches, state O(keys) never
+    O(history). Emits current per-user (n, min, max, sum); tests diff
+    the final row per user against the batch aggregation.
+
+    ENVIRONMENT GATE: the transformWithState state protocol speaks
+    protobuf between the JVM state server and the Python worker; this
+    container ships no google.protobuf, so the job raises
+    ModuleNotFoundError here (and the test skips). The code path is
+    the production spelling on any standard Spark 4 deployment."""
+    import google.protobuf  # noqa: F401  (gate: required by the state protocol)
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserValueStats(StatefulProcessor):
+        # closure-defined: workers unpickle the class by value
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n bigint, vmin double, vmax double, vsum double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, vmin, vmax, vsum = self._state.get()
+            else:
+                n, vmin, vmax, vsum = 0, float("inf"), float("-inf"), 0.0
+            for pdf in rows:
+                n += int(len(pdf))
+                vmin = min(vmin, float(pdf["value"].min()))
+                vmax = max(vmax, float(pdf["value"].max()))
+                vsum += float(pdf["value"].sum())
+            self._state.update((n, vmin, vmax, vsum))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "min_value": [round(vmin, 4)],
+                    "max_value": [round(vmax, 4)],
+                    "sum_value": [round(vsum, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider
+    # (typed state variables / timers are not implemented on the
+    # default HDFS-backed store)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserValueStats(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, min_value double, "
+            "max_value double, sum_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    raw = _run_to_memory(out, "update")
+    latest = F.max(F.struct("n_events", "min_value", "max_value", "sum_value")).alias("s")
+    return raw.groupBy("user_id").agg(latest).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.min_value").alias("min_value"),
+        F.col("s.max_value").alias("max_value"),
+        F.col("s.sum_value").alias("sum_value"),
+    )

@@ -179,3 +179,37 @@ def test_stream_dedup_equals_batch_distinct(spark):
     )
     want = sorted((r["user_id"], r["event_type"]) for r in batch.collect())
     assert got == want
+
+
+def test_transform_with_state_equals_batch(spark):
+    """transformWithStateInPandas per-user stats must equal the batch
+    aggregation over the same fixture. Skips where google.protobuf is
+    unavailable (the state protocol requires it; this container ships
+    without it)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import run_transform_with_state
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["min_value"], r["max_value"], r["sum_value"])
+        for r in run_transform_with_state(spark, SMOKE_SF).collect()
+    }
+    batch = (
+        load_table(spark, SMOKE_SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("mn"),
+            F.round(F.max("value"), 4).alias("mx"),
+            F.round(F.sum("value"), 4).alias("sm"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["mn"], r["mx"], r["sm"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        g, w = got[k], want[k]
+        assert g[0] == w[0] and abs(g[1] - w[1]) < 1e-9 and abs(g[2] - w[2]) < 1e-9, (k, g, w)
+        assert abs(g[3] - w[3]) < 1e-6, (k, g, w)
