@@ -420,23 +420,22 @@ def connected_components(
     """
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=False)
     for _ in range(max_iterations):
-        nbr = (
-            edges.join(labels, edges.u == labels.node)
-            .select(F.col("v").alias("node"), "label")
+        # each node's OWN previous label rides the union as a second
+        # column (null on neighbor rows, max() recovers it), so the
+        # convergence check needs no join back to the old frame — one
+        # shuffle aggregation per round is the whole round.
+        nbr = edges.join(labels, edges.u == labels.node).select(
+            F.col("v").alias("node"), "label", F.lit(None).cast("long").alias("own")
         )
+        own = labels.select("node", "label", F.col("label").alias("own"))
         new_labels = (
-            labels.unionByName(nbr)
+            own.unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("own").alias("own"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("own")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels

@@ -135,3 +135,48 @@ def test_salted_join_no_cartesian(spark):
     plan = explain_str(join_salted_order_revenue(spark, SMOKE_SF))
     assert "Cartesian" not in plan
     assert "Generate" in plan, "expected the salt-replication explode"
+
+
+def test_decontamination_broadcasts_bench_posting(spark):
+    """The eval-set posting must be the broadcast side — the train
+    corpus never shuffles for the probe."""
+    from pwir_zadanie_4_mapreduce_spark.operators.text import quality_decontamination
+
+    assert has_broadcast_join(quality_decontamination(spark, SMOKE_SF))
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    """The vocab-sized document-frequency table broadcasts back onto
+    the tf posting; the corpus-total scalar broadcasts too."""
+    from pwir_zadanie_4_mapreduce_spark.operators.analytics import text_tfidf_top_terms
+
+    assert has_broadcast_join(text_tfidf_top_terms(spark, SMOKE_SF))
+
+
+def test_weighted_sample_is_scan_plus_project(spark):
+    """No shuffle on the kept path: the only exchange feeds the
+    broadcast max scalar; membership itself is a scan-side filter."""
+    from pwir_zadanie_4_mapreduce_spark.operators.sampling import sample_weighted_quality
+
+    plan = explain_str(sample_weighted_quality(spark, SMOKE_SF))
+    # the documents scan side must not hash-repartition (sort for the
+    # final orderBy is fine; the scalar agg side exchanges 1 row)
+    assert plan.count("Arguments: hashpartitioning") == 0, plan
+
+
+def test_interval_overlap_is_hash_join_not_cartesian(spark):
+    from pwir_zadanie_4_mapreduce_spark.operators.analytics import (
+        join_interval_overlap_events,
+    )
+
+    plan = explain_str(join_interval_overlap_events(spark, SMOKE_SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_jaccard_count_plan_has_no_array_ops(spark):
+    """The count-based exact Jaccard must never re-join the shingle
+    arrays: no array_intersect anywhere in the physical plan."""
+    from pwir_zadanie_4_mapreduce_spark.operators.dedup import dedup_ngram_jaccard
+
+    plan = explain_str(dedup_ngram_jaccard(spark, SMOKE_SF))
+    assert "array_intersect" not in plan, plan
