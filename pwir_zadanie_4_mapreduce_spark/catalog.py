@@ -67,3 +67,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, key: str = None) -> DataFrame:
+    """Repartition a small-but-CPU-heavy frame across the cluster.
+
+    The fixture parquet files are single row groups — one scan split no
+    matter how low maxPartitionBytes goes — so any per-row-expensive
+    stage directly above a scan (shingling, signature hashing, Arrow
+    decode) runs on ONE core unless the rows are spread first. ~MBs of
+    shuffle buys full parallelism (measured 2× on the sf0.1 shingle
+    pass). At 100 TB inputs arrive in thousands of splits and this is
+    a no-op-sized rebalance."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, key) if key else df.repartition(par)

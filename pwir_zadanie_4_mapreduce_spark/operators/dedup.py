@@ -87,11 +87,10 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     in thousands of partitions and the repartition collapses to a
     no-op-sized rebalance).
     """
-    par = spark.sparkContext.defaultParallelism
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(par, "doc_id")
+    from pwir_zadanie_4_mapreduce_spark.catalog import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     return docs.select(
         "doc_id", hashed_word_shingles(F.col("text"), SHINGLE_WORDS).alias("hs")
@@ -634,7 +633,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 3 must agree on >= 1 of the 4 bands (pigeonhole), so
     recall is exact for the distance bound — no probabilistic miss.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pwir_zadanie_4_mapreduce_spark.catalog import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     sigs = simhash_signatures(docs)
     banded = sigs.select(
         "doc_id",
@@ -708,3 +711,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", dround("cosine", 4).alias("cosine"))
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=None,  # composed below from the dedup_ngram_jaccard oracle
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-duplicate graph — the graph
+    analytics shape beyond connected components (clustering
+    coefficient, community density). Edges = exact-Jaccard near-dup
+    pairs; triangles enumerated with the canonical a<b<c two-join
+    plan over the ORIENTED edge list (each edge stored low→high id),
+    so every triangle is produced exactly once and the join fan-out
+    is bounded by out-degree under the orientation — the standard
+    MapReduce triangle algorithm.
+
+    100 TB: orient by degree (low-degree endpoint first) instead of
+    by id to bound skew on hubs; edges here are near-dup pairs, whose
+    degree is already capped by cluster sizes. One pair-generation
+    pass + two self-joins on skinny (long, long) rows."""
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=False)  # pair generation runs once, feeds 3 legs
+    )
+    e1 = pairs.select(F.col("a"), F.col("b"))
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = pairs.select(F.col("a").alias("ta"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b")  # a < b < c by orientation
+    triangles = wedges.join(
+        e3, (F.col("ta") == F.col("a")) & (e3["c"] == wedges["c"])
+    )
+    return triangles.agg(F.count("*").alias("n_triangles"))
+
+
+_ORACLES["graph_triangle_count"] = f"""
+    WITH jp AS ({_ORACLES["dedup_ngram_jaccard"]}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM jp)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+      ON e3.a = e1.a AND e3.b = e2.b
+"""

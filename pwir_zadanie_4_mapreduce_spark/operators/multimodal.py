@@ -88,7 +88,14 @@ def make_decode_batches():
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Materialize an opaque binary column (documents.text encoded) —
-    the stand-in for real image/audio bytes, plus typed metadata."""
+    the stand-in for real image/audio bytes, plus typed metadata.
+
+    Repartitions first: the fixture parquet is a single row group (one
+    scan split regardless of maxPartitionBytes), and every downstream
+    consumer is a per-row Arrow/pandas decode stage — exactly the work
+    that must not run on one core. At 100 TB media shards arrive in
+    thousands of files and this collapses to a cheap rebalance."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),

@@ -287,7 +287,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic across runs and partitionings; used for cheap
     containment/near-dup pre-screening at scale."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pwir_zadanie_4_mapreduce_spark.catalog import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     grams = char_ngrams(F.col("text"), 8)
     hashes = F.array_sort(F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))))
     return docs.select(
@@ -340,7 +344,12 @@ def quality_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pwir_zadanie_4_mapreduce_spark.functions.textfn import hashed_word_shingles
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pwir_zadanie_4_mapreduce_spark.catalog import spread
+
+    # spread before the CPU-heavy 5-gram shingling (single-row-group scan)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     posting = docs.select(
         "doc_id",
         F.explode(

@@ -54,13 +54,14 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Scan-split size: the default 128 MB makes every test-SF table a
-        # SINGLE scan partition (lineitem@sf0.1 is 10.8 MB), serializing
-        # scans, UDFs, and partial aggs onto one core — measured 2-5×
-        # on scan-heavy queries. The principle is cores×~2 splits per
-        # scan: at 100 TB the default already yields ~10⁶ splits, so
-        # this override matters only when input_size/cores < 128 MB.
-        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        # NOTE on scan parallelism at test SF: every fixture parquet is
+        # a SINGLE row group, so parquet scans cannot split below one
+        # task no matter how low maxPartitionBytes goes (verified:
+        # 4 MB splits put all 600k lineitem rows in one partition, and
+        # interleaved A/B timing showed no difference). The lever that
+        # DOES work is an explicit repartition before CPU-heavy
+        # per-row stages — catalog.spread(), used by the shingling /
+        # signature / Arrow-decode operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -88,8 +89,6 @@ def get_or_tune(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # see build_session: parallelize small-SF scans (runtime-settable)
-        "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
     }.items():
         try:
             conf.set(k, v)
