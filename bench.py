@@ -60,6 +60,9 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "agg_hll_sketch_users",
     "quality_decontamination",
+    "basket_part_pairs",
+    "sim_knn_label_vote",
+    "graph_triangle_count",
 ]
 
 

@@ -526,3 +526,48 @@ def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+@register(
+    "basket_part_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2)
+    SELECT part_a, part_b, support
+    FROM pairs WHERE support >= {BASKET_MIN_SUPPORT}
+    ORDER BY support DESC, part_a, part_b
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in at
+    least BASKET_MIN_SUPPORT=3 orders — the association-mining primitive
+    (the A-priori first pass). Same count-join shape as the Jaccard
+    dedup: distinct (order, part) posting, self-join on the order,
+    groupBy pair counts support. Join fan-out per order is
+    C(items_per_order, 2) — bounded by basket size (≤13 here), the
+    analogue of the shingle df bound; at 100 TB prune first by
+    per-part frequency (the A-priori trick) before pairing."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+    )

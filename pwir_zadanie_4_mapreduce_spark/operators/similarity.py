@@ -385,3 +385,111 @@ def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("sq"), 4).alias("avg_sq_norm"),
         )
     )
+
+
+@register(
+    "sim_knn_label_vote",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv, nrm AS qn
+          FROM e WHERE vec_id < {QUERY_BATCH}),
+    nbrs AS (
+        SELECT q.query_id, q.true_label, e.label
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+                     / (e.nrm * q.qn) DESC, e.vec_id) <= {TOP_K}),
+    votes AS (
+        SELECT query_id, true_label, label AS predicted_label,
+               CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM nbrs GROUP BY query_id, true_label, label)
+    SELECT query_id, true_label, predicted_label, n_votes
+    FROM votes
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, predicted_label) = 1
+    ORDER BY query_id
+    """,
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by neighbor vote: each query vector (ids <
+    8) takes the majority label of its 10 nearest-by-cosine neighbors
+    (tie → smaller label) — the eval loop of an embedding-space
+    classifier, built from the batched-top-k plan plus one vote
+    aggregation. Everything after the scored scan shuffles rows ∝
+    queries×k, independent of corpus size."""
+    from pyspark.sql.window import Window
+
+    e = _prepped(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < QUERY_BATCH).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = _cosine(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qn"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "true_label", "vec_id", "label", cos.alias("cosine"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    nbrs = scored.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= TOP_K)
+    votes = nbrs.groupBy("query_id", "true_label", F.col("label").alias("predicted_label")).agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("predicted_label"))
+    return (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "true_label", "predicted_label", "n_votes")
+        .orderBy("query_id")
+    )
+
+
+COV_DIMS = 16
+
+
+@register(
+    "embedding_covariance_matrix",
+    oracle=f"""
+    WITH comps AS (
+        SELECT vec_id, d - 1 AS d, CAST(embedding[d] AS DOUBLE) AS x
+        FROM embeddings, range(1, {COV_DIMS} + 1) t(d)),
+    a AS (SELECT vec_id, d AS d1, x AS x1 FROM comps),
+    b AS (SELECT vec_id, d AS d2, x AS x2 FROM comps)
+    SELECT CAST(d1 AS INTEGER) AS d1, CAST(d2 AS INTEGER) AS d2,
+           ROUND(covar_samp(x1, x2), 4) AS cov
+    FROM a JOIN b USING (vec_id)
+    WHERE d1 <= d2
+    GROUP BY d1, d2
+    ORDER BY d1, d2
+    """,
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the first 16 embedding
+    dimensions — the feature-engineering pass behind PCA/whitening.
+    Component pairs come from a posexplode self-join on vec_id;
+    covar_samp partial-aggregates, so the shuffle is O(dims²) groups
+    regardless of corpus size. At 100 TB prefer one pass of
+    sum/sum-product accumulators per (d1,d2) over a sampled subset —
+    same plan shape, the sample bound by the estimator's variance."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comps = e.select(
+        "vec_id",
+        F.posexplode(F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, COV_DIMS)),
+    ).select("vec_id", F.col("pos").alias("d"), F.col("col").alias("x"))
+    a = comps.select("vec_id", F.col("d").alias("d1"), F.col("x").alias("x1"))
+    b = comps.select("vec_id", F.col("d").alias("d2"), F.col("x").alias("x2"))
+    return (
+        a.join(b, "vec_id")
+        .filter(F.col("d1") <= F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(dround(F.covar_samp("x1", "x2"), 4).alias("cov"))
+        .orderBy("d1", "d2")
+    )
