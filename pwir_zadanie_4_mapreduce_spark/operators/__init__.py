@@ -14,6 +14,7 @@ from pwir_zadanie_4_mapreduce_spark.operators import (  # noqa: F401
     sampling,
     similarity,
     text,
+    timeseries,
     tpch,
 )
 from pwir_zadanie_4_mapreduce_spark.operators.registry import ORACLES, QUERIES  # noqa: F401

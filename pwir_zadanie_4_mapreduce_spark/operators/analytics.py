@@ -556,17 +556,27 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(items_per_order, 2) — bounded by basket size (≤13 here), the
     analogue of the shingle df bound; at 100 TB prune first by
     per-part frequency (the A-priori trick) before pairing."""
-    items = (
+    # One shuffle to assemble each basket (collect_set is the distinct),
+    # then the C(k,2) pair fan-out happens JVM-side inside a Catalyst
+    # lambda — no self-join, no second scan of lineitem. The sorted set
+    # makes part_a < part_b by construction.
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= BASKET_MIN_SUPPORT)
         .orderBy(F.desc("support"), "part_a", "part_b")

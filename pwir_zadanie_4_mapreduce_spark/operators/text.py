@@ -357,13 +357,22 @@ def quality_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    bench = posting.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "s")
+    # One row per bench shingle (min bench_id kept). Shingles are already
+    # distinct per doc (hashed_word_shingles), so after this the join emits
+    # at most one row per (train doc, shingle): count(*) == count distinct,
+    # and min-of-mins == min — the expensive distinct-aggregate (Expand +
+    # double shuffle) collapses to a plain partial-aggregable count.
+    bench = (
+        posting.filter(is_bench)
+        .groupBy("s")
+        .agg(F.min("doc_id").alias("bench_id"))
+    )
     train = posting.filter(~is_bench)
     return (
         train.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("s").alias("n_shared_shingles"),
+            F.count("*").alias("n_shared_shingles"),
             F.min("bench_id").alias("first_bench_hit"),
         )
         .orderBy("doc_id")

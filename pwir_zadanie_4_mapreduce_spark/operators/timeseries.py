@@ -1,0 +1,228 @@
+"""Time-series operators: date-spine gap fill (the hypertable
+`time_bucket_gapfill` shape), a binned range join (the scalable plan
+for equi-key-less interval matching), and greedy sequence packing
+(the LLM-training batch-assembly primitive).
+
+None of these exist in the reference (storaged/PWiR-zadanie-4-MapReduce
+is a Laplace SOR solver — SURVEY.md §0); they generalize its
+iterate/stencil surface (SURVEY.md §2.1 O5/O9) to the time dimension:
+gap fill is a 1-D stencil over a generated axis, the binned range join
+is the O11 block-partition trick applied to time, and packing is a
+prefix-scan partition (O8 reduce as a running sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
+from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+
+GAPFILL_MAX_USER = 100
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, ROUND(SUM(value), 4) AS day_value
+        FROM events WHERE user_id < {GAPFILL_MAX_USER}
+        GROUP BY user_id, CAST(ts AS DATE)),
+    b AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id),
+    spine AS (
+        SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM b),
+    j AS (
+        SELECT s.user_id, s.d, daily.day_value
+        FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d)
+    SELECT user_id, CAST(d AS TIMESTAMP) AS d, day_value,
+           last_value(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           day_value IS NULL AS is_gap
+    FROM j ORDER BY user_id, d
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill with forward fill (locf): per user, every
+    day between their first and last active day exists in the output;
+    missing days carry the last observed daily total. The hypertable
+    `time_bucket_gapfill` / `locf` pattern as a batch plan.
+
+    Plan: per-user daily agg (one shuffle), per-user bounds from the
+    SAME aggregate (partial agg on the already-partitioned frame),
+    spine rows generated JVM-side with sequence()+explode (never
+    materialized on the driver), forward fill as one window pass.
+    100 TB: the spine is O(users × days) rows of 12 bytes — dwarfed by
+    the event input; everything after the first shuffle is co-
+    partitioned by user_id, so gap fill costs ONE shuffle total.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < GAPFILL_MAX_USER)
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(dround(F.sum("value"), 4).alias("day_value"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    j = spine.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            "user_id",
+            F.col("d").cast("timestamp").alias("d"),
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("day_value").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "d")
+    )
+
+
+RANGE_BIN_DAYS = 4  # bin width; order window spans 2 days -> <= 2 bins
+RANGE_SPAN_DAYS = 2
+RANGE_MONTH = "1995-03"
+
+
+@register(
+    "join_range_binned",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM orders o JOIN events e
+      ON CAST(e.ts AS DATE) >= CAST(o.o_orderdate AS DATE)
+     AND CAST(e.ts AS DATE) <= CAST(o.o_orderdate AS DATE) + {RANGE_SPAN_DAYS}
+    WHERE strftime(o.o_orderdate, '%Y-%m') = '{RANGE_MONTH}'
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key: every order vs every event, kept
+    when the event date falls in the order's 2-day window) executed
+    with the BINNED plan: both sides bucket time into fixed 4-day
+    bins, the interval side explodes into the <=2 bins it touches,
+    and the join becomes an equi hash join on the bin plus a residual
+    date filter. Each matching pair meets in exactly one bin (the
+    point side's), so no dedup pass is needed.
+
+    Without this rewrite Spark plans a broadcast-nested-loop join —
+    O(|orders| x |events|) comparisons; the binned plan is
+    O(pairs-per-bin), the same trick Databricks' range-join hint and
+    KDB's window joins use. 100 TB: bin width tunes the
+    selectivity/fan-out trade; partition pruning on the bin column
+    turns it into a co-located join.
+    """
+    epoch = F.lit("1970-01-01").cast("date")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.date_format("o_orderdate", "yyyy-MM") == RANGE_MONTH)
+        .withColumn("od", F.to_date("o_orderdate"))
+        .withColumn("dd", F.datediff("od", epoch))
+    )
+    o_binned = orders.withColumn(
+        "bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.col("dd") / RANGE_BIN_DAYS),
+                    F.floor((F.col("dd") + RANGE_SPAN_DAYS) / RANGE_BIN_DAYS),
+                )
+            )
+        ),
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("ed"), "value")
+        .withColumn("bin", F.floor(F.datediff("ed", epoch) / RANGE_BIN_DAYS))
+    )
+    matched = o_binned.join(events, "bin").filter(
+        (F.col("ed") >= F.col("od"))
+        & (F.col("ed") <= F.date_add("od", RANGE_SPAN_DAYS))
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            dround(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PACK_SEQ_TOKENS = 256
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+    c AS (
+        SELECT source, doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tok
+        FROM toks),
+    binned AS (
+        SELECT source, doc_id, n_tok,
+               (cum_tok - n_tok) // {PACK_SEQ_TOKENS} AS seq_id
+        FROM c)
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM binned GROUP BY source, seq_id ORDER BY source, seq_id
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing — the training-batch assembly step:
+    docs are concatenated in doc_id order within a shard (`source`)
+    and cut into ~PACK_SEQ_TOKENS-token training sequences; a doc
+    belongs to the sequence its first token lands in (documents may
+    straddle the cut — the packer's standard greedy rule). Emits one
+    row per packed sequence with doc span and token totals.
+
+    Plan: token counts are a projection, the running total is one
+    window pass partitioned BY SHARD — no global sort, no driver
+    loop. 100 TB: the shard column is what makes this scale (a
+    corpus-global cumsum would serialize); shards pack independently
+    and in parallel, exactly how production packers shard by file.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_SEQ_TOKENS),
+    )
+    return (
+        binned.groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
