@@ -63,6 +63,12 @@ HEADLINE = [
     "basket_part_pairs",
     "sim_knn_label_vote",
     "graph_triangle_count",
+    # round-2 continued: time-series, packing, graph, quality families
+    "timeseries_gap_fill",
+    "join_range_binned",
+    "pipeline_pack_sequences",
+    "graph_pagerank_fixed",
+    "quality_expectations",
 ]
 
 

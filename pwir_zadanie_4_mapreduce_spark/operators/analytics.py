@@ -581,3 +581,253 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= BASKET_MIN_SUPPORT)
         .orderBy(F.desc("support"), "part_a", "part_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations, aggregate function surface, fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+EXPECTATION_RULES = [
+    # (rule name, Spark Column predicate is built in the operator;
+    #  SQL predicate string used verbatim in the oracle)
+    ("qty_le_45", "l_quantity <= 45"),
+    ("discount_le_0_08", "l_discount <= 0.08"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("shipdate_lt_2001", "l_shipdate < TIMESTAMP '2001-01-01'"),
+    ("returnflag_domain", "l_returnflag IN ('R', 'A', 'N')"),
+]
+
+
+@register(
+    "quality_expectations",
+    oracle=f"""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {", ".join(
+                   f'CAST(COUNT(*) FILTER (WHERE NOT ({pred})) AS BIGINT) AS "{name}"'
+                   for name, pred in EXPECTATION_RULES
+               )}
+        FROM lineitem)
+    SELECT rule, n_violations, n_rows,
+           ROUND(n_violations / CAST(n_rows AS DOUBLE), 4) AS viol_rate
+    FROM (SELECT n_rows, {", ".join(f'"{n}"' for n, _ in EXPECTATION_RULES)} FROM agg)
+    UNPIVOT (n_violations FOR rule IN ({", ".join(f'"{n}"' for n, _ in EXPECTATION_RULES)}))
+    ORDER BY rule
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ / dbt-test
+    shape): each rule is a row predicate; the operator reports
+    violation counts and rates per rule in ONE pass over the table —
+    plan width (one conditional count per rule), not pass count, is
+    what grows with the rule set. The wide 1-row aggregate is then
+    unpivoted to the (rule, n_violations) audit shape.
+
+    100 TB: a rule suite of hundreds still costs a single scan +
+    6-byte-per-rule partial aggregates; contrast with one-query-per-
+    rule frameworks that rescan per rule.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    preds = {
+        "qty_le_45": F.col("l_quantity") <= 45,
+        "discount_le_0_08": F.col("l_discount") <= 0.08,
+        "price_positive": F.col("l_extendedprice") > 0,
+        "shipdate_lt_2001": F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"),
+        "returnflag_domain": F.col("l_returnflag").isin("R", "A", "N"),
+    }
+    wide = li.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.count_if(~pred).alias(name)
+            for name, pred in preds.items()
+        ],
+    )
+    long = wide.unpivot(
+        ids=["n_rows"],
+        values=[n for n, _ in EXPECTATION_RULES],
+        variableColumnName="rule",
+        valueColumnName="n_violations",
+    )
+    return long.select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        dround(F.col("n_violations") / F.col("n_rows").cast("double"), 4).alias(
+            "viol_rate"
+        ),
+    ).orderBy("rule")
+
+
+@register(
+    "agg_bitops_countif",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_hi,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 450) AS any_huge,
+           CAST(bit_and(user_id) AS BIGINT) AS users_band,
+           CAST(bit_or(user_id) AS BIGINT) AS users_bor,
+           CAST(bit_xor(user_id) AS BIGINT) AS users_bxor
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bitops_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function surface: conditional count (count_if),
+    boolean reducers (bool_and/bool_or), and bitwise aggregates
+    (bit_and/bit_or/bit_xor) — all partial-aggregable single-pass
+    reducers (the O8 max-reduce of the reference, laplace-par.c:504,
+    generalized to other monoids). bit_xor is the parity check used
+    in checksum-style integrity audits; all six compute in the same
+    hash-aggregate as the plain count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("value") > 100).alias("n_hi"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 450).alias("any_huge"),
+            F.bit_and("user_id").alias("users_band"),
+            F.bit_or("user_id").alias("users_bor"),
+            F.bit_xor("user_id").alias("users_bxor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_disc(o_totalprice, 0.5), 4) AS p50_disc,
+           ROUND(quantile_disc(o_totalprice, 0.9), 4) AS p90_disc,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_cont
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc WITHIN GROUP): returns an
+    actual data value — the right spelling for latency SLOs and any
+    domain where interpolated values are meaningless. Contrasted with
+    the continuous (interpolating) median in the same aggregate.
+    Cross-engine note: disc values are exact data points so they
+    hash-match bit-for-bit; only the interpolated cont value needs
+    the shared rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            dround(
+                F.expr(
+                    "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+                ),
+                4,
+            ).alias("p50_disc"),
+            dround(
+                F.expr(
+                    "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+                ),
+                4,
+            ).alias("p90_disc"),
+            dround(
+                F.expr(
+                    "percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+                ),
+                4,
+            ).alias("p50_cont"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 1_000_000_000_000  # ranks in units of 1e-12
+
+
+@register(
+    "graph_pagerank_fixed",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    edges AS (
+        SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM pairs),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({PAGERANK_SCALE} AS BIGINT) AS r FROM deg),
+    r1 AS (
+        SELECT e.dst AS node,
+               CAST({PAGERANK_SCALE} * 15 // 100
+                    + 85 * SUM(r.r // d.odeg) // 100 AS BIGINT) AS r
+        FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst),
+    r2 AS (
+        SELECT e.dst AS node,
+               CAST({PAGERANK_SCALE} * 15 // 100
+                    + 85 * SUM(r.r // d.odeg) // 100 AS BIGINT) AS r
+        FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst),
+    r3 AS (
+        SELECT e.dst AS node,
+               CAST({PAGERANK_SCALE} * 15 // 100
+                    + 85 * SUM(r.r // d.odeg) // 100 AS BIGINT) AS r
+        FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst)
+    SELECT node, r AS rank_fp FROM r3 ORDER BY rank_fp DESC, node LIMIT 50
+    """,
+)
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (PAGERANK_ITERS=3 unrolled rounds, damping 0.85) over
+    the part<->supplier co-shipment graph, in FIXED-POINT integer
+    arithmetic: ranks are bigints in units of 1e-12, contributions use
+    integer division — bit-identical across engines and cluster sizes
+    (float PageRank differs in last ULPs with summation order, which
+    would break both the oracle hash and run-to-run reproducibility).
+
+    Graph shape: bipartite part/supplier nodes (ids disambiguated
+    even/odd), symmetrized edges, so no dangling nodes by
+    construction. Each round is one join (rank onto edge source) +
+    one groupBy (sum onto destination) — the standard vertex-centric
+    plan; out-degrees are joined once from a tiny static frame.
+
+    100 TB: edges partition by src for the rank join and shuffle by
+    dst for the sum — two exchanges per round, the known floor for
+    message-passing on a shuffle engine; GraphX/Pregel does the same.
+    The fixed iteration count (vs convergence test) keeps the plan
+    fully unrolled and lets AQE size every stage.
+    """
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+    # edge list pre-joined with out-degree once; reused every round
+    edeg = edges.join(deg, "src").localCheckpoint(eager=False)
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(PAGERANK_SCALE).cast("bigint").alias("r")
+    )
+    base = F.lit(PAGERANK_SCALE * 15).cast("bigint") / F.lit(100)
+    for _ in range(PAGERANK_ITERS):
+        contrib = edeg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("r div odeg").alias("c"))
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.floor(base)
+                + F.expr("85 * sum(c) div 100")
+            ).cast("bigint").alias("r")
+        )
+    return (
+        ranks.select("node", F.col("r").alias("rank_fp"))
+        .orderBy(F.desc("rank_fp"), "node")
+        .limit(50)
+    )

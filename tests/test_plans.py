@@ -180,3 +180,44 @@ def test_jaccard_count_plan_has_no_array_ops(spark):
 
     plan = explain_str(dedup_ngram_jaccard(spark, SMOKE_SF))
     assert "array_intersect" not in plan, plan
+
+
+def test_binned_range_join_is_hash_join(spark):
+    """The binned rewrite must turn the pure range join into an equi
+    hash join on the bin — never a nested-loop/cartesian plan."""
+    from pwir_zadanie_4_mapreduce_spark.operators.timeseries import join_range_binned
+
+    plan = explain_str(join_range_binned(spark, SMOKE_SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gap_fill_single_user_shuffle(spark):
+    """Everything after the daily aggregate is co-partitioned by
+    user_id: daily agg, bounds agg, spine join, and the fill window
+    must reuse ONE user_id exchange (plus the final orderBy's range
+    partition)."""
+    from pwir_zadanie_4_mapreduce_spark.operators.timeseries import timeseries_gap_fill
+
+    plan = explain_str(timeseries_gap_fill(spark, SMOKE_SF))
+    assert plan.count("Arguments: hashpartitioning") <= 2, plan
+
+
+def test_pack_sequences_no_global_sort_before_agg(spark):
+    """The cumsum window partitions by shard (source) — there must be
+    no single-partition window (a corpus-global cumsum would
+    serialize the whole corpus through one task)."""
+    from pwir_zadanie_4_mapreduce_spark.operators.timeseries import (
+        pipeline_pack_sequences,
+    )
+
+    plan = explain_str(pipeline_pack_sequences(spark, SMOKE_SF))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_expectations_single_scan(spark):
+    """All rules compute in one pass: exactly one parquet scan of
+    lineitem in the plan."""
+    from pwir_zadanie_4_mapreduce_spark.operators.analytics import quality_expectations
+
+    scans = read_schema_columns(quality_expectations(spark, SMOKE_SF))
+    assert len(scans) == 1, scans
