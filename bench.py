@@ -69,6 +69,7 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "graph_pagerank_fixed",
     "quality_expectations",
+    "dedup_substring_span",
 ]
 
 

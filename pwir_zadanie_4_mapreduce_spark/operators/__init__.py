@@ -12,6 +12,7 @@ from pwir_zadanie_4_mapreduce_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     sampling,
+    sourcesink,
     similarity,
     text,
     timeseries,

@@ -817,8 +817,13 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = F.lit(PAGERANK_SCALE * 15).cast("bigint") / F.lit(100)
     for _ in range(PAGERANK_ITERS):
+        # rank table is |V| rows vs the edge list's |E| — broadcast it so
+        # the (big) edge frame never re-shuffles; per round the only
+        # exchange left is the sum-onto-dst groupBy. When |V| outgrows the
+        # broadcast threshold, drop the hint and AQE falls back to a
+        # shuffled join — the plan is otherwise identical.
         contrib = edeg.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
         ).select("dst", F.expr("r div odeg").alias("c"))
         ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
             (
@@ -831,3 +836,47 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), "node")
         .limit(50)
     )
+
+
+@register(
+    "window_running_distinct_users",
+    oracle="""
+    WITH firsts AS (
+        SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS d
+        FROM events GROUP BY event_type, user_id),
+    news AS (
+        SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firsts GROUP BY event_type, d)
+    SELECT event_type, CAST(d AS TIMESTAMP) AS d, n_new,
+           CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_distinct_users
+    FROM news ORDER BY event_type, d
+    """,
+)
+def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — not directly
+    expressible as a window aggregate in any engine; the standard
+    rewrite counts each user on their FIRST day (per key) and takes a
+    running sum of the first-appearance counts. Two hash aggregates +
+    one window pass, all partial-aggregable; the distinct state never
+    materializes per row the way a naive windowed set would.
+    100 TB: this is the cardinality-curve query behind "DAU/WAU
+    growth" dashboards; the first-appearance trick is what makes it
+    one shuffle per agg instead of a per-row set union."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("d")
+    )
+    news = firsts.groupBy("event_type", "d").agg(F.count("*").alias("n_new"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return news.select(
+        "event_type",
+        F.col("d").cast("timestamp").alias("d"),
+        "n_new",
+        F.sum("n_new").over(w).alias("running_distinct_users"),
+    ).orderBy("event_type", "d")

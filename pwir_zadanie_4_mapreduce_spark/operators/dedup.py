@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 from pwir_zadanie_4_mapreduce_spark.functions.textfn import (
@@ -753,3 +754,97 @@ _ORACLES["graph_triangle_count"] = f"""
     FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
       ON e3.a = e1.a AND e3.b = e2.b
 """
+
+
+SPAN_K = 10          # positional shingle width (tokens)
+SPAN_MIN_TOKENS = 15  # report pairs sharing a run of at least this many tokens
+
+
+@register(
+    "dedup_substring_span",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= {SPAN_K}),
+    p AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   range(1, len(w) - {SPAN_K - 1} + 1),
+                   i -> {{'pos': i,
+                          's': array_to_string(w[i:i+{SPAN_K - 1}], ' ')}})) AS u
+        FROM t),
+    q AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM p),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, a.pos - b.pos AS delta
+        FROM q a JOIN q b ON a.s = b.s AND a.doc_id < b.doc_id),
+    isl AS (
+        SELECT doc_a, doc_b, delta, pa,
+               pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, delta
+                                       ORDER BY pa) AS grp
+        FROM m),
+    runs AS (
+        SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run
+        FROM isl GROUP BY doc_a, doc_b, delta, grp)
+    SELECT doc_a, doc_b,
+           CAST(MAX(run) + {SPAN_K - 1} AS BIGINT) AS span_tokens,
+           CAST(SUM(run) AS BIGINT) AS n_matches
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING MAX(run) + {SPAN_K - 1} >= {SPAN_MIN_TOKENS}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-shared-token-run dedup — the positional complement to
+    set-based Jaccard (the "substring dedup" of Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*,
+    arXiv:2107.06499, done with positional shingles instead of a
+    suffix array): two docs sharing ANY SPAN_K-token window share a
+    positional shingle; consecutive shared windows at the SAME offset
+    delta chain into runs, and max(run) + K - 1 is exactly the length
+    of the longest common token substring (>= K).
+
+    Plan: positional shingle hashes via the zip_with token-hash fold
+    (no shingle strings materialized), self-join on the hash, then the
+    gaps-and-islands trick per (pair, offset-delta) — one window pass
+    + two aggregations on skinny rows. 100 TB: identical skew story to
+    the Jaccard family (a df-cap on the posting bounds hub shingles);
+    runs never materialize token arrays.
+    """
+    from pwir_zadanie_4_mapreduce_spark.catalog import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    toks = F.split("text", " ")
+    docs = docs.withColumn("th", F.transform(toks, lambda x: F.xxhash64(x))).filter(
+        F.size("th") >= SPAN_K
+    )
+    k = F.size("th") - (SPAN_K - 1)
+    acc = F.slice("th", 1, k)
+    for i in range(1, SPAN_K):
+        acc = F.zip_with(acc, F.slice("th", i + 1, k), lambda a, b: F.xxhash64(a, b))
+    posting = docs.select(
+        "doc_id", F.posexplode(acc).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    a = posting.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = posting.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h")
+    m = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("delta"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pa")
+    isl = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = isl.groupBy("doc_a", "doc_b", "delta", "grp").agg(
+        F.count("*").alias("run")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run") + (SPAN_K - 1)).alias("span_tokens"),
+            F.sum("run").alias("n_matches"),
+        )
+        .filter(F.col("span_tokens") >= SPAN_MIN_TOKENS)
+        .orderBy("doc_a", "doc_b")
+    )

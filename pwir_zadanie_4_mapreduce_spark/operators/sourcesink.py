@@ -1,0 +1,114 @@
+"""Connector round-trips: CSV and JSON-lines source/sink.
+
+The reference's only sink is formatted text on stdout
+(`laplace-seq.c:99-111` printPoints); these operators generalize that
+into real columnar/text connectors: write a typed frame out, read it
+back with an EXPLICIT schema (never inferSchema — a second scan and
+type drift at scale), and aggregate the round-tripped data. The
+DuckDB oracle computes the same aggregate from the original parquet,
+so the check proves the sink+source pair is lossless for the carried
+types (long, double, string, timestamp).
+
+Sinks write under /tmp (driver-writable scratch), mode=overwrite so
+re-runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
+from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_roundtrips")
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 4) AS sum_price,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source: orders written as headered CSV, read back
+    with an explicit schema (timestamps included), aggregated. Proves
+    the text round-trip is value-exact: Spark writes doubles in
+    shortest-round-trip form and ISO timestamps, so the re-parsed
+    aggregate hash-matches the oracle computed on the parquet
+    original. 100 TB: CSV is the interchange format, not the storage
+    format — no pushdown, no pruning, ~3-5x parquet scan cost; the
+    explicit schema at least avoids the inferSchema double scan."""
+    path = os.path.join(_SCRATCH, "orders_csv")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    orders.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.min("o_orderdate").alias("first_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source: events written as one JSON object per
+    line, read back with an explicit schema. JSONL is the lingua
+    franca of LLM-corpus interchange (one doc per line); the explicit
+    schema keeps the read single-pass and type-stable. Doubles
+    round-trip exactly (shortest-form printing both ways)."""
+    path = os.path.join(_SCRATCH, "events_jsonl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )

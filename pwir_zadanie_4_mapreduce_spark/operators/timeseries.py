@@ -147,7 +147,11 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.to_date("ts").alias("ed"), "value")
         .withColumn("bin", F.floor(F.datediff("ed", epoch) / RANGE_BIN_DAYS))
     )
-    matched = o_binned.join(events, "bin").filter(
+    # the interval side is a one-month slice of orders — broadcast it so
+    # the (unbounded) event stream side never shuffles; at 100 TB with an
+    # unselective interval side, drop the hint: the bin equi-key still
+    # gives a shuffled hash join instead of a nested loop.
+    matched = F.broadcast(o_binned).join(events, "bin").filter(
         (F.col("ed") >= F.col("od"))
         & (F.col("ed") <= F.date_add("od", RANGE_SPAN_DAYS))
     )
