@@ -1528,3 +1528,175 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = docs.lateralJoin(TokenizePositions(F.col("text").outer()))
     return out.select("doc_id", "pos", "token", "token_len").orderBy("doc_id", "pos")
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE user_id % 3 = 0) AS BIGINT) AS n_div_null,
+           ROUND(SUM(CASE WHEN user_id % 3 = 0 THEN NULL
+                          ELSE value / (user_id % 3) END), 4) AS sum_safe_div,
+           CAST(COUNT(*) FILTER (WHERE TRY_CAST(event_type AS INTEGER) IS NULL)
+                AS BIGINT) AS n_uncastable,
+           ROUND(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                                       AS DOUBLE), 0)), 4) AS sum_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_divide (NULL on /0 instead
+    of a job-killing exception under ANSI mode) and try_cast (NULL on
+    malformed input). The production spelling for dirty data at
+    100 TB — one poisoned row must not fail a million-task job, and
+    NULL-on-error keeps the expression inside whole-stage codegen
+    (vs. a Python UDF try/except at 100x the cost).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    safe_div = F.try_divide("value", F.col("user_id") % 3)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(safe_div.isNull()).alias("n_div_null"),
+            _r4(F.sum(safe_div)).alias("sum_safe_div"),
+            F.count_if(
+                F.expr("try_cast(event_type AS int)").isNull()
+            ).alias("n_uncastable"),
+            _r4(
+                F.sum(
+                    F.coalesce(
+                        F.expr(
+                            "try_cast(get_json_object(props, '$.k') AS double)"
+                        ),
+                        F.lit(0.0),
+                    )
+                )
+            ).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EQUIDEPTH_BUCKETS = 10
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_totalprice,
+               ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS bucket
+        FROM orders)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (equal row count per bucket, data-driven
+    boundaries) — the complement of agg_histogram_price's fixed-width
+    buckets and the shape optimizers use for selectivity statistics.
+    ntile over a total order (price, key) makes bucket assignment
+    deterministic under ties.
+
+    100 TB note: the global ntile needs a total sort; the scalable
+    spelling samples quantile boundaries (approx_percentile) and
+    assigns buckets with a broadcast range lookup — same output shape,
+    no global sort. Kept exact here because the oracle must match
+    row-for-row."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = orders.withColumn("bucket", F.ntile(EQUIDEPTH_BUCKETS).over(w))
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.min("o_totalprice"), 4).alias("lo"),
+            dround(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ZORDER_BITS = 8
+ZORDER_BLOCK_SHIFT = 8  # block = morton >> 8 (256 cells/block)
+
+
+def _morton_terms(xcol: str, ycol: str, div_op: str) -> str:
+    """Bit-interleave (Morton/Z-order) of two {ZORDER_BITS}-bit ints as
+    pure integer arithmetic — the SAME formula string works in Spark
+    SQL and DuckDB modulo the integer-division spelling (`div` vs
+    `//`), which is the only dialect difference injected."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({xcol} {div_op} {1 << i}) % 2) * {4 ** i}")
+        terms.append(f"(({ycol} {div_op} {1 << i}) % 2) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_blocks",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey % {1 << ZORDER_BITS} AS cx,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % {1 << ZORDER_BITS}
+                   AS dy,
+               o_custkey, CAST(o_orderdate AS DATE) AS od
+        FROM orders),
+    m AS (
+        SELECT o_custkey, od,
+               ({_morton_terms('cx', 'dy', '//')}) // {1 << ZORDER_BLOCK_SHIFT}
+                   AS block
+        FROM base)
+    SELECT CAST(block AS BIGINT) AS block,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+           CAST(MIN(od) AS TIMESTAMP) AS min_date,
+           CAST(MAX(od) AS TIMESTAMP) AS max_date
+    FROM m GROUP BY block ORDER BY block
+    """,
+)
+def layout_zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout: interleave the bits of two
+    scan dimensions (customer, order day) and report per-block
+    min/max envelopes — the file-level statistics a lakehouse uses
+    for multi-dimensional data skipping (Delta OPTIMIZE ZORDER BY /
+    Iceberg sort orders). Tight envelopes on BOTH columns in the same
+    block set are exactly what linear sort orders cannot give.
+
+    The interleave is pure integer arithmetic (one generated
+    expression, fully inside whole-stage codegen — no UDF); the same
+    formula text feeds the oracle, so block ids are bit-identical.
+    100 TB: write with repartitionByRange(morton) and each output
+    file becomes one such envelope; scans filtered on either
+    dimension prune blocks by min/max alone."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+    ).withColumn(
+        "cx", F.col("o_custkey") % (1 << ZORDER_BITS)
+    ).withColumn(
+        "dy",
+        F.datediff("od", F.lit("1970-01-01").cast("date")) % (1 << ZORDER_BITS),
+    )
+    block = F.expr(
+        f"({_morton_terms('cx', 'dy', 'div')}) div {1 << ZORDER_BLOCK_SHIFT}"
+    )
+    return (
+        base.withColumn("block", block)
+        .groupBy("block")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("od").cast("timestamp").alias("min_date"),
+            F.max("od").cast("timestamp").alias("max_date"),
+        )
+        .orderBy("block")
+    )

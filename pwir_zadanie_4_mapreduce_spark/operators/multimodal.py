@@ -182,3 +182,62 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("frame_idx") % 4 == 0)  # sample every 4th frame
         .select("doc_id", "n_frames", "frame_idx")
     )
+
+
+AUDIO_CHUNK_MS = 5000
+AUDIO_STRIDE_MS = 4000  # 1 s overlap between consecutive chunks
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id,
+               CAST(1000 + (length(text) * 13) % 60000 AS BIGINT) AS duration_ms
+        FROM documents),
+    c AS (
+        SELECT doc_id, duration_ms,
+               UNNEST(range(0, duration_ms, {AUDIO_STRIDE_MS})) AS start_ms
+        FROM a)
+    SELECT doc_id, duration_ms,
+           CAST(start_ms // {AUDIO_STRIDE_MS} AS INTEGER) AS chunk_idx,
+           CAST(start_ms AS BIGINT) AS start_ms,
+           CAST(LEAST(start_ms + {AUDIO_CHUNK_MS}, duration_ms) AS BIGINT) AS end_ms,
+           (start_ms + {AUDIO_STRIDE_MS} >= duration_ms) AS is_last
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plumbing — the ASR/feature-extraction front end:
+    each clip is cut into overlapping fixed-duration windows (5 s
+    chunks, 4 s stride). Durations are derived deterministically from
+    payload length (the decode step is the stub, per the container's
+    no-codec constraint); the chunk *planning* — sequence generation,
+    fan-out, boundary clamping — is the real Spark surface under test.
+
+    The payload is projected away BEFORE the explode (same rule as
+    frame sampling: never duplicate blobs through a fan-out); at
+    100 TB the chunk plan is pure metadata and the per-chunk decode
+    joins back to byte ranges only inside the Arrow batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(
+        "doc_id",
+        (1000 + (F.length("text") * 13) % 60000).cast("bigint").alias("duration_ms"),
+    )
+    c = a.select(
+        "doc_id",
+        "duration_ms",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(AUDIO_STRIDE_MS))
+        ).alias("start_ms"),
+    )
+    return c.select(
+        "doc_id",
+        "duration_ms",
+        (F.col("start_ms") / AUDIO_STRIDE_MS).cast("int").alias("chunk_idx"),
+        F.col("start_ms").cast("bigint"),
+        F.least(
+            F.col("start_ms") + AUDIO_CHUNK_MS, F.col("duration_ms")
+        ).cast("bigint").alias("end_ms"),
+        (F.col("start_ms") + AUDIO_STRIDE_MS >= F.col("duration_ms")).alias("is_last"),
+    ).orderBy("doc_id", "chunk_idx")

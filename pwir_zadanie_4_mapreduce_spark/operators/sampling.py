@@ -163,3 +163,53 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", dround(u, 6).alias("u"))
         .orderBy("doc_id")
     )
+
+
+GROUP_KFOLD_K = 5
+
+
+@register(
+    "sample_group_kfold",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::INTEGER
+                    % {GROUP_KFOLD_K} AS INTEGER) AS fold,
+               value
+        FROM events)
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM assigned GROUP BY fold ORDER BY fold
+    """,
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware k-fold assignment: the fold is a function of the
+    GROUP key (user_id), never the row — all of a user's events land
+    in one fold, which is what prevents train/test leakage through
+    correlated rows (the GroupKFold of scikit-learn, as a pure
+    projection). md5-prefix arithmetic makes the assignment
+    engine-portable, subset-invariant, and reshuffle-free: adding
+    data never moves an existing user between folds.
+
+    100 TB: zero extra shuffles — the fold column is computed in the
+    scan projection; fold-filtered training scans prune nothing at
+    the row-group level (hash is uniform by design) but cost only the
+    predicate. A leakage test (no user in two folds) is structural:
+    fold is functionally dependent on user_id."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % GROUP_KFOLD_K
+    ).cast("int")
+    return (
+        ev.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("fold")
+    )

@@ -377,3 +377,88 @@ def quality_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "table", "join")
+BM25_TOP = 20
+
+
+@register(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS doclen
+        FROM documents),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(doclen) / CAST(COUNT(*) AS DOUBLE) AS avglen
+        FROM dl),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term IN {BM25_QUERY}
+        GROUP BY doc_id, term),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE term IN {BM25_QUERY}
+        GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                           + {BM25_B} * dl.doclen / stats.avglen)))
+                   AS score
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+        GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP}
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term query — the lexical
+    search primitive (Robertson/Sparck Jones probabilistic weighting;
+    the default scorer of Lucene/Elasticsearch). Shares its plan
+    bones with TF-IDF: one tokenize pass builds tf (filtered to the
+    query terms AT THE SCAN — the posting never materializes for
+    non-query terms), df and the corpus length stats are
+    query-term-sized / scalar and broadcast back.
+
+    100 TB: cost is one corpus scan + a groupBy on (doc, term) whose
+    cardinality is |query| x |matching docs|; everything joined onto
+    it is broadcast. The same shape serves batched multi-query
+    scoring (swap the literal filter for a broadcast query table) —
+    cf. sim_topk_batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("doclen"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("doclen") / F.count("*").cast("double")).alias("avglen"),
+    )
+    qtoks = toks.filter(F.col("term").isin(*BM25_QUERY))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = qtoks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("doclen") / F.col("avglen")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom).alias("score"))
+    )
+    return (
+        scored.select("doc_id", dround("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP)
+    )

@@ -230,3 +230,71 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "seq_id")
     )
+
+
+@register(
+    "events_multires_rollup",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts)  AS h,
+               CAST(ts AS DATE)                    AS d,
+               date_trunc('month', CAST(ts AS DATE)) AS m,
+               value
+        FROM events)
+    SELECT event_type,
+           CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day'
+                ELSE 'month' END AS resolution,
+           CAST(COALESCE(h, CAST(d AS TIMESTAMP), CAST(m AS TIMESTAMP)) AS TIMESTAMP)
+               AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM b
+    GROUP BY GROUPING SETS ((event_type, h), (event_type, d), (event_type, m))
+    ORDER BY event_type, resolution, bucket_start
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup — the hypertable continuous-aggregate
+    ladder (hour/day/month) computed in ONE pass with GROUPING SETS:
+    the scan and the partial aggregates are shared across resolutions
+    (Expand multiplies rows 3x AFTER projection to 4 skinny columns),
+    instead of three separate scans-and-shuffles.
+
+    100 TB: this is the batch backfill companion of
+    run_hourly_rollup_sink (streaming/jobs.py); coarser resolutions
+    could also fold from the hour rollup (hierarchical re-aggregation)
+    — that variant trades the Expand for a second tiny shuffle and
+    wins once the hour rollup is already materialized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.window("ts", "1 hour").start.alias("h"),
+        F.to_date("ts").alias("d"),
+        F.trunc(F.to_date("ts"), "month").alias("m"),
+        "value",
+    )
+    g = ev.groupingSets(
+        [["event_type", "h"], ["event_type", "d"], ["event_type", "m"]],
+        "event_type", "h", "d", "m",
+    ).agg(
+        F.count("*").alias("n"),
+        dround(F.sum("value"), 4).alias("total_value"),
+        # grouping() is only resolvable inside the grouping-sets aggregate
+        F.grouping("h").alias("gh"),
+        F.grouping("d").alias("gd"),
+    )
+    resolution = (
+        F.when(F.col("gh") == 0, "hour")
+        .when(F.col("gd") == 0, "day")
+        .otherwise("month")
+    )
+    return g.select(
+        "event_type",
+        resolution.alias("resolution"),
+        F.coalesce(
+            F.col("h"), F.col("d").cast("timestamp"), F.col("m").cast("timestamp")
+        ).alias("bucket_start"),
+        "n",
+        "total_value",
+    ).orderBy("event_type", "resolution", "bucket_start")
