@@ -70,6 +70,20 @@ HEADLINE = [
     "graph_pagerank_fixed",
     "quality_expectations",
     "dedup_substring_span",
+    # round-3 additions: stats/sketch/LM/graph/warehouse families
+    "stats_ab_test_ztest",
+    "agg_bitmap_distinct",
+    "agg_partial_state_merge",
+    "sketch_countmin_heavy_hitters",
+    "sketch_bloom_membership",
+    "text_bigram_lm_score",
+    "quality_kl_divergence_sources",
+    "graph_bfs_levels",
+    "window_rolling_corr",
+    "dedup_containment",
+    "cogroup_asof_merge",
+    "timeseries_ewma",
+    "timeseries_anomaly_zscore",
 ]
 
 

@@ -47,15 +47,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses
-        # to read natively; read nanos as int64 and truncate to µs —
-        # the same truncation DuckDB applies casting ns → TIMESTAMP.
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS) —
+        # which Spark 4 refuses to read natively — or TIMESTAMP(MICROS).
+        # Handle both: with nanosAsLong the nanos variant surfaces as
+        # int64, truncated here to µs (the same truncation DuckDB
+        # applies casting ns → TIMESTAMP); the micros variant reads as
+        # a timestamp already and passes through untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session runs UTC, so NTZ → TIMESTAMP is value-preserving;
+            # keeps unix_millis/unix_timestamp-based queries working and
+            # matches the type the nanos path has always produced.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -14,6 +14,7 @@ from pwir_zadanie_4_mapreduce_spark.operators import (  # noqa: F401
     sampling,
     sourcesink,
     similarity,
+    stats,
     text,
     timeseries,
     tpch,

@@ -848,3 +848,57 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_tokens") >= SPAN_MIN_TOKENS)
         .orderBy("doc_a", "doc_b")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WORDS - 1}], ' '))) AS sh
+        FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / least(len(a.sh), len(b.sh)), 4) AS containment
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / least(len(a.sh), len(b.sh)) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.9 over the
+    same hashed 3-word shingles as the Jaccard family. Containment is
+    the metric for SUBSET duplication — a short doc fully embedded in
+    a long one scores ~1.0 here but low on Jaccard (the union dwarfs
+    the intersection), which is why production dedup runs both.
+
+    Plan: identical count-based co-occurrence shape to
+    dedup_ngram_jaccard — one posting self-join + one pair aggregation
+    over skinny longs — EXCEPT the size-ratio prune must not apply
+    (asymmetric containment is precisely about unequal sizes), so the
+    100 TB skew guard is the df-cap (dedup_ngram_jaccard_dfcap's
+    device), not the ratio. Cost remains Σ_h C(df_h, 2)."""
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    posting = sh.select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h"))
+    a = posting.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h")
+    b = posting.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    cont = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    return (
+        common.filter(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", dround(cont, 4).alias("containment"))
+    )

@@ -1,0 +1,910 @@
+"""Statistical / sketch / language-model operator surface (round 3).
+
+Families added here, each oracle-checked against DuckDB:
+- experiment stats: deterministic A/B z-test, per-group OLS regression,
+  mutual information, rolling correlation windows;
+- mergeable state: partial-aggregate re-aggregation (the 100 TB
+  incremental-rollup pattern), exact bitmap distinct counting;
+- sketches with engine-portable hashing (md5 arithmetic, so the DuckDB
+  oracle computes the *same* sketch): count-min heavy hitters, bloom
+  membership;
+- corpus statistics for training-data pipelines: bigram LM scoring,
+  per-source KL-divergence drift;
+- graph: unrolled BFS levels over the supplier↔part bipartite graph;
+- warehouse: small-file compaction planning (metadata-only).
+
+Design rules follow operators/relational.py: declarative DataFrame
+plans (Catalyst keeps pushdown/pruning/broadcast), every computed
+column aliased identically to the oracle, doubles rounded via dround.
+Scale notes on each operator answer "what does this cost at 100 TB".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
+from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+
+
+def _r4(c: Column) -> Column:
+    return dround(c, 4)
+
+
+def _tokens(text: Column) -> Column:
+    """lower → whitespace split → drop empties; identical to the DuckDB
+    spelling list_filter(string_split_regex(lower(text),'\\s+'), ...)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------------
+# experiment statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_ab_test_ztest",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(COUNT(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
+           ROUND(AVG(value) FILTER (arm = 'A'), 4) AS mean_a,
+           ROUND(AVG(value) FILTER (arm = 'B'), 4) AS mean_b,
+           ROUND((AVG(value) FILTER (arm = 'A') - AVG(value) FILTER (arm = 'B'))
+                 / sqrt(var_samp(value) FILTER (arm = 'A') / COUNT(*) FILTER (arm = 'A')
+                      + var_samp(value) FILTER (arm = 'B') / COUNT(*) FILTER (arm = 'B')),
+                 4) AS z_score
+    FROM assigned
+    """,
+)
+def stats_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test over a deterministic hash-assigned A/B
+    split — the experiment-analysis staple. Assignment is md5-prefix
+    arithmetic (engine-portable, subset-invariant, no RNG state), the
+    same family as sample_hash_orders.
+
+    Plan: ONE global aggregation with conditional (FILTER-style)
+    aggregates — no per-arm scans, no join. 100 TB note: the scan is
+    the entire cost; the agg shuffles one partial row per task."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm_a = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+    va = F.when(arm_a, F.col("value"))
+    vb = F.when(~arm_a, F.col("value"))
+    agg = ev.agg(
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        F.avg(va).alias("ma"),
+        F.avg(vb).alias("mb"),
+        F.var_samp(va).alias("sa"),
+        F.var_samp(vb).alias("sb"),
+    )
+    z = (F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("sa") / F.col("n_a") + F.col("sb") / F.col("n_b")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        _r4(F.col("ma")).alias("mean_a"),
+        _r4(F.col("mb")).alias("mean_b"),
+        _r4(z).alias("z_score"),
+    )
+
+
+@register(
+    "agg_regr_price_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 4)        AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_regr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (price ~ quantity) via the SQL:2003
+    REGR_* aggregates — slope/intercept/R² in ONE pass, no iterative
+    fitting. These are second-moment accumulators (like corr/covar in
+    agg_corr_moments), so they partial-aggregate map-side.
+
+    100 TB note: per-group linear models at any scale cost exactly one
+    scan + a groups-sized shuffle; this is the pattern that replaces
+    'collect to driver and fit sklearn' for simple regressions."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            _r4(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+            _r4(F.regr_intercept("l_extendedprice", "l_quantity")).alias("intercept"),
+            _r4(F.regr_r2("l_extendedprice", "l_quantity")).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "stats_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
+    my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+    tot AS (SELECT SUM(c) AS n FROM cells)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(tot.n) AS BIGINT) AS n_rows,
+           ROUND(SUM((cells.c::DOUBLE / tot.n)
+                     * ln(cells.c::DOUBLE * tot.n / (mx.cx::DOUBLE * my.cy))), 6)
+               AS mi_nats
+    FROM cells
+    JOIN mx USING (x) JOIN my USING (y)
+    CROSS JOIN tot
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (order
+    priority × status) — the dependence screen used for feature
+    selection and leakage detection in training pipelines.
+
+    Plan: one groupBy builds the contingency cells; both margins
+    re-aggregate the CELLS (not the input), so the fact table is
+    scanned once; margins and the total are broadcast back onto the
+    cells. 100 TB note: cost after the first agg is O(|X|·|Y|),
+    independent of row count."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    )
+    cells = orders.groupBy("x", "y").agg(F.count("*").alias("c"))
+    cells = cells.localCheckpoint(eager=False)  # margins + join reuse it
+    mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        F.col("c").cast("double") * F.col("n") / (F.col("cx").cast("double") * F.col("cy"))
+    )
+    contrib = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term"), "n")
+    )
+    return contrib.agg(
+        F.count("*").alias("n_cells"),
+        F.max("n").alias("n_rows"),
+        dround(F.sum("term"), 6).alias("mi_nats"),
+    )
+
+
+@register(
+    "window_rolling_corr",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value,
+             LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS rn,
+           ROUND(corr(value, prev) OVER (
+               PARTITION BY event_type ORDER BY rn
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 4) AS roll_corr
+    FROM seq
+    QUALIFY rn % 100 = 0
+    ORDER BY event_type, rn
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 autocorrelation of event values over a 50-row
+    window per event type — the drift/regime-change monitor shape.
+    corr as a WINDOW aggregate (not groupBy): second-moment state, so
+    the frame slides in O(1) per row.
+
+    100 TB note: partitioned by event_type and ordered within the
+    partition — no global sort; sampled output (every 100th row) keeps
+    the result driver-safe while the full curve is a write-to-table
+    away."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    wseq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lag("value").over(wseq).alias("prev"),
+        F.row_number().over(wseq).alias("rn"),
+    )
+    wroll = Window.partitionBy("event_type").orderBy("rn").rowsBetween(-49, 0)
+    return (
+        seq.withColumn("roll_corr", _r4(F.corr("value", "prev").over(wroll)))
+        .filter(F.col("rn") % 100 == 0)
+        .select("event_type", F.col("rn").cast("long").alias("rn"), "roll_corr")
+        .orderBy("event_type", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable aggregation state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_partial_state_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value), 4) AS mean_value,
+           ROUND(var_samp(value), 4) AS var_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_partial_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate re-aggregation: daily (event_type, day)
+    partials — count, sum, sum-of-squares, min, max — merged into
+    per-type totals, with mean/variance reconstructed FROM THE MERGED
+    MOMENTS. The oracle computes the same stats directly from raw
+    rows, proving the state is lossless.
+
+    This is THE 100 TB incremental pattern (same family as the HLL
+    sketches): nightly partials are tiny, mergeable, and re-aggregable
+    to any coarser grain without rescanning history. Moment state is
+    what Spark's own partial aggregation ships between map and reduce —
+    materialized here as a user-level table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return merged.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        _r4(F.col("s") / F.col("n")).alias("mean_value"),
+        _r4(var).alias("var_value"),
+        _r4(F.col("mn")).alias("min_value"),
+        _r4(F.col("mx")).alias("max_value"),
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH masks AS (
+      -- shift in HUGEINT then narrow: DuckDB range-checks BIGINT << 63,
+      -- while Spark's shiftleft(1L, 63) wraps into the sign bit; the
+      -- popcount of the resulting 64-bit pattern is identical.
+      SELECT event_type, user_id // 64 AS bucket,
+             bit_or((1::HUGEINT << CAST(user_id % 64 AS INTEGER))::UBIGINT) AS mask
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct_bitmap
+    FROM masks GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts via roaring-bitmap-style bucketed
+    bitmasks: users bucket into 64-id blocks, each block aggregates to
+    one int64 mask (bit_or), popcounts sum to the exact cardinality.
+
+    vs countDistinct at 100 TB: countDistinct shuffles every distinct
+    (key, value) pair; the bitmap shuffles one 8-byte mask per 64-id
+    block per task — a 64× floor on shuffle volume for dense id
+    spaces, and the masks are MERGEABLE (bit_or) across days/shards
+    like the HLL sketches, but exact."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    masks = ev.groupBy(
+        "event_type", F.expr("user_id div 64").alias("bucket")
+    ).agg(F.expr("bit_or(shiftleft(1L, cast(user_id % 64 as int)))").alias("mask"))
+    return (
+        masks.groupBy("event_type")
+        .agg(F.sum(F.bit_count("mask")).alias("n_distinct_bitmap"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine-portable sketches (md5 arithmetic on both sides)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 3
+CM_WIDTH = 256
+CM_TOPK = 10
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    oracle=f"""
+    WITH cells AS (
+      SELECT r.r,
+             ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                 % {CM_WIDTH} AS col,
+             COUNT(*) AS cell_cnt
+      FROM orders CROSS JOIN range({CM_DEPTH}) r(r)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT o_custkey, COUNT(*) AS exact_cnt FROM orders GROUP BY o_custkey
+      ORDER BY exact_cnt DESC, o_custkey LIMIT {CM_TOPK}
+    )
+    SELECT e.o_custkey, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c.cell_cnt) AS BIGINT) AS cm_est
+    FROM exact e CROSS JOIN range({CM_DEPTH}) r(r)
+    JOIN cells c
+      ON c.r = r.r
+     AND c.col = ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(e.o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                 % {CM_WIDTH}
+    GROUP BY e.o_custkey, e.exact_cnt
+    ORDER BY exact_cnt DESC, e.o_custkey
+    """,
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch ({CM_DEPTH}×{CM_WIDTH}) over order customer
+    keys, probed for the top-{CM_TOPK} heavy hitters against exact
+    counts. Hashing is md5 arithmetic so DuckDB builds the IDENTICAL
+    sketch — the estimate (an upper bound ≥ exact by construction) is
+    oracle-checked cell for cell.
+
+    100 TB note: the sketch is d×w counters (3×256 here) regardless of
+    input size — the groupBy shuffles at most d×w rows per task. This
+    is the fixed-memory frequency summary for unbounded key domains;
+    the exact side exists only to audit the error."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    rs = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("r")
+
+    def cm_col(r: Column, key: Column) -> Column:
+        h = F.md5(F.concat(r.cast("string"), F.lit(":"), key.cast("string")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CM_WIDTH).alias("col")
+
+    cells = (
+        orders.select(rs, "o_custkey")
+        .select("r", cm_col(F.col("r"), F.col("o_custkey")), "o_custkey")
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    exact = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "o_custkey")
+        .limit(CM_TOPK)
+    )
+    probes = exact.select(rs, "o_custkey", "exact_cnt").select(
+        "r", cm_col(F.col("r"), F.col("o_custkey")), "o_custkey", "exact_cnt"
+    )
+    return (
+        F.broadcast(probes)
+        .join(cells, ["r", "col"])
+        .groupBy("o_custkey", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("cm_est"))
+        .orderBy(F.desc("exact_cnt"), "o_custkey")
+    )
+
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(k.k AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                 % {BLOOM_BITS} AS bitpos
+      FROM members CROSS JOIN range({BLOOM_K}) k(k)
+    ),
+    probe AS (
+      SELECT c.c_custkey,
+             COUNT(b.bitpos) AS hits,
+             MAX(CASE WHEN m.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS is_member
+      FROM customer c
+      CROSS JOIN range({BLOOM_K}) k(k)
+      LEFT JOIN bits b
+        ON b.bitpos = ('0x' || substr(md5(CAST(k.k AS VARCHAR) || ':' || CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                      % {BLOOM_BITS}
+      LEFT JOIN members m ON m.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(COUNT(*) FILTER (hits = {BLOOM_K}) AS BIGINT) AS n_bloom_hits,
+           CAST(COUNT(*) FILTER (hits = {BLOOM_K} AND is_member = 0) AS BIGINT) AS n_false_pos
+    FROM probe
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter ({BLOOM_BITS} bits, k={BLOOM_K}) built over
+    customers with finished orders, probed by the full customer table;
+    reports true membership vs bloom hits vs false positives. md5-bit
+    arithmetic means DuckDB constructs the IDENTICAL filter, so even
+    the false-positive count is deterministic and oracle-checked.
+
+    100 TB note: this is the semi-join pruning pattern Spark's own
+    runtime bloom filters apply — the bit set is ≤ {BLOOM_BITS} longs
+    (broadcast), the probe side never shuffles, and membership is a
+    map-side filter. Build cost is one pass over the (distinct) build
+    side."""
+    orders = load_table(spark, sf_dir, "orders")
+    members = (
+        orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    ).localCheckpoint(eager=False)
+    ks = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("k")
+
+    def bitpos(k: Column, key: Column) -> Column:
+        h = F.md5(F.concat(k.cast("string"), F.lit(":"), key.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_BITS
+
+    bits = (
+        members.select(ks, "o_custkey")
+        .select(bitpos(F.col("k"), F.col("o_custkey")).alias("bitpos"))
+        .distinct()
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    probe_bits = cust.select(ks, "c_custkey").select(
+        "c_custkey", bitpos(F.col("k"), F.col("c_custkey")).alias("bitpos")
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bitpos", "left_semi")
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("hits"))
+    )
+    probe = (
+        cust.join(F.broadcast(hits), "c_custkey", "left")
+        .join(members.withColumnRenamed("o_custkey", "c_custkey").withColumn("im", F.lit(1)), "c_custkey", "left")
+        .select(
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            F.coalesce(F.col("im"), F.lit(0)).alias("is_member"),
+        )
+    )
+    n_members = members.count()
+    return probe.agg(
+        F.lit(n_members).cast("long").alias("n_members"),
+        F.count("*").alias("n_probed"),
+        F.count(F.when(F.col("hits") == BLOOM_K, 1)).alias("n_bloom_hits"),
+        F.count(F.when((F.col("hits") == BLOOM_K) & (F.col("is_member") == 0), 1)).alias(
+            "n_false_pos"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics (training-data pipelines)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab FROM uni),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> {'w1': t[i], 'w2': t[i+1]}), recursive := true)
+      FROM toks
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln((c2.c + 1.0) / (c1.c + v.vocab))), 4) AS avg_logprob
+    FROM bg
+    JOIN c2 USING (w1, w2)
+    JOIN c1 ON c1.w = bg.w1
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    ORDER BY avg_logprob DESC, bg.doc_id
+    LIMIT 20
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model scoring: add-one-smoothed
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) trained on the whole corpus,
+    each document scored by its mean log-probability — the classic
+    KenLM-style fluency/quality filter for training-data curation
+    (docs scoring highest are the most 'typical' text). Top 20 shown.
+
+    Plan: tokenization and bigram construction are Catalyst lambda
+    expressions (no Python); counts are two hash aggregations; the
+    unigram table and vocab scalar broadcast back. 100 TB note: the
+    model tables are vocab-bounded (Zipf), so scoring is one corpus
+    scan + broadcast joins — at trillion-token scale the bigram table
+    itself shards and the join keys on (w1,w2) stay a hash join."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("t")
+    )
+    docs = docs.localCheckpoint(eager=False)  # tokens feed unigrams AND bigrams
+    uni = docs.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab = uni.agg(F.countDistinct("w").alias("vocab"))
+    bigram_expr = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select("doc_id", F.explode(bigram_expr).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), bg["w1"] == c1["w"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab"))).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), _r4(F.avg("lp")).alias("avg_logprob"))
+        .orderBy(F.desc("avg_logprob"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "quality_kl_divergence_sources",
+    oracle=r"""
+    WITH st AS (
+      SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    cs AS (SELECT source, w, COUNT(*) AS c FROM st GROUP BY source, w),
+    cc AS (SELECT w, SUM(c) AS c_corpus FROM cs GROUP BY w),
+    ns AS (SELECT source, SUM(c) AS n_src FROM cs GROUP BY source),
+    nc AS (SELECT SUM(c) AS n_corpus FROM cs)
+    SELECT cs.source,
+           CAST(MAX(ns.n_src) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(SUM((cs.c::DOUBLE / ns.n_src)
+                     * ln((cs.c::DOUBLE / ns.n_src)
+                          / (cc.c_corpus::DOUBLE / nc.n_corpus))), 4) AS kl_nats
+    FROM cs
+    JOIN ns USING (source)
+    JOIN cc USING (w)
+    CROSS JOIN nc
+    GROUP BY cs.source
+    ORDER BY cs.source
+    """,
+)
+def quality_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift per source: KL(P_source ‖ P_corpus)
+    over each source's token support — the domain-mix / contamination
+    monitor for multi-source training corpora (a source whose language
+    diverges from the blend scores high).
+
+    Plan: ONE (source, token) aggregation over the exploded corpus;
+    corpus totals, per-source totals and the corpus distribution all
+    RE-AGGREGATE that table (vocab-bounded), never the corpus, and
+    broadcast back. 100 TB note: after the first agg everything is
+    O(vocab) — the drift dashboard costs one scan."""
+    st = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    cs = st.groupBy("source", "w").agg(F.count("*").alias("c"))
+    cs = cs.localCheckpoint(eager=False)  # three re-aggregations below
+    cc = cs.groupBy("w").agg(F.sum("c").alias("c_corpus"))
+    ns = cs.groupBy("source").agg(F.sum("c").alias("n_src"))
+    nc = cs.agg(F.sum("c").alias("n_corpus"))
+    p_src = F.col("c").cast("double") / F.col("n_src")
+    p_corpus = F.col("c_corpus").cast("double") / F.col("n_corpus")
+    return (
+        cs.join(F.broadcast(ns), "source")
+        .join(cc, "w")
+        .crossJoin(F.broadcast(nc))
+        .groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            _r4(F.sum(p_src * F.log(p_src / p_corpus))).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph: unrolled BFS levels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_bfs_levels",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    p1 AS (SELECT DISTINCT p FROM edges WHERE s = 1),
+    s2 AS (
+      SELECT DISTINCT e.s FROM edges e JOIN p1 USING (p) WHERE e.s <> 1
+    ),
+    p3 AS (
+      SELECT DISTINCT e.p FROM edges e JOIN s2 USING (s)
+      WHERE e.p NOT IN (SELECT p FROM p1)
+    )
+    SELECT 'S' AS node_type, CAST(1 AS BIGINT) AS node_id, 0 AS dist
+    UNION ALL SELECT 'P', p, 1 FROM p1
+    UNION ALL SELECT 'S', s, 2 FROM s2
+    UNION ALL SELECT 'P', p, 3 FROM p3
+    ORDER BY dist, node_type, node_id
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrolled 3-level BFS from supplier #1 over the supplier↔part
+    bipartite graph (edges = distinct lineitem (suppkey, partkey)) —
+    shortest-path levels, the reachability primitive behind lineage
+    and fraud-ring queries.
+
+    Plan: the edge list materializes once (lazy checkpoint) and each
+    level is one semi-join (frontier expansion) + one anti-join
+    (visited-set subtraction) — the vertex-centric BFS round on a
+    shuffle engine, same family as dedup_cluster_components. 100 TB
+    note: per-round cost is O(frontier edges), and the unrolled form
+    trades driver-loop convergence checks for a fixed depth (the
+    production BFS loops with a changed-count check exactly like
+    connected_components)."""
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    p1 = edges.filter(F.col("s") == 1).select("p").distinct()
+    s2 = (
+        edges.join(F.broadcast(p1), "p", "left_semi")
+        .filter(F.col("s") != 1)
+        .select("s")
+        .distinct()
+    )
+    p3 = (
+        edges.join(F.broadcast(s2), "s", "left_semi")
+        .join(F.broadcast(p1), "p", "left_anti")
+        .select("p")
+        .distinct()
+    )
+    seed = spark.range(1).select(
+        F.lit("S").alias("node_type"), F.lit(1).cast("long").alias("node_id"), F.lit(0).alias("dist")
+    )
+    lvl = lambda df, col, t, d: df.select(  # noqa: E731
+        F.lit(t).alias("node_type"), F.col(col).alias("node_id"), F.lit(d).alias("dist")
+    )
+    return (
+        seed.unionByName(lvl(p1, "p", "P", 1))
+        .unionByName(lvl(s2, "s", "S", 2))
+        .unionByName(lvl(p3, "p", "P", 3))
+        .orderBy("dist", "node_type", "node_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# warehouse: compaction planning
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET = 400_000  # "bytes" (chars) per output file
+
+
+@register(
+    "warehouse_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY source, lang
+    ),
+    placed AS (
+      SELECT source, lang, bytes,
+             CAST((SUM(bytes) OVER (ORDER BY bytes DESC, source, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+                  // {COMPACT_TARGET} AS BIGINT) AS bin_id
+      FROM files
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes
+    FROM placed GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def warehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: group input 'files' (here the
+    (source, lang) slices of documents, sized by characters) into
+    target-sized output bins by running-offset assignment — the OPTIMIZE
+    /rewrite-files planning step of every lakehouse maintenance job.
+
+    The cumulative-sum window is GLOBAL by design and documented safe:
+    it runs over the FILE INVENTORY (metadata, ~thousands of rows even
+    for petabyte tables), never over data rows — planning is a
+    driver-scale problem, execution is the distributed part. Integer
+    arithmetic end-to-end → bit-exact across engines."""
+    files = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    placed = files.withColumn(
+        "bin_id", F.expr(f"(sum(bytes) over (order by bytes desc, source, lang) - bytes) div {COMPACT_TARGET}")
+    )
+    return (
+        placed.groupBy("bin_id")
+        .agg(F.count("*").alias("n_files"), F.sum("bytes").alias("total_bytes"))
+        .orderBy("bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cogrouped applyInPandas (as-of merge, pandas surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cogroup_asof_merge",
+    oracle="""
+    SELECT o.o_orderkey,
+           e.event_id AS last_event_id,
+           e.ts       AS last_event_ts
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    WHERE o.o_custkey <= 200
+    ORDER BY o.o_orderkey
+    """,
+)
+def cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the COGROUPED pandas surface:
+    groupBy(key).cogroup(...).applyInPandas aligns each customer's
+    orders with their events in one Arrow batch and pandas merge_asof
+    picks the latest at-or-before event — the API for per-key logic
+    that genuinely needs imperative code (curve interpolation, model
+    scoring). Same semantics (and same oracle) as the pure-DataFrame
+    join_asof_last_event_before_order, which is the preferred plan;
+    this exists to cover the cogroup boundary end-to-end.
+
+    100 TB note: one shuffle per side on the key (exactly what the
+    union-window form pays); per-key state is that key's rows only.
+    Python is the slow path — measured, not assumed, via the bench
+    pairing with the window variant."""
+    import pandas as pd
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype="int64"),
+                 "last_event_id": pd.Series(dtype="Int64"),
+                 "last_event_ts": pd.Series(dtype="datetime64[us]")}
+            )
+        left = left.sort_values("o_orderdate")
+        right = right.sort_values(["ts", "event_id"])
+        merged = pd.merge_asof(
+            left, right, left_on="o_orderdate", right_on="ts", direction="backward"
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": merged["o_orderkey"],
+                "last_event_id": merged["event_id"].astype("Int64"),
+                "last_event_ts": merged["ts"],
+            }
+        )
+
+    return (
+        orders.groupBy("o_custkey")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(
+            merge, "o_orderkey bigint, last_event_id bigint, last_event_ts timestamp"
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "agg_pandas_weighted_mean",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+               AS weighted_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_pandas_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-aggregate UDAF (Arrow-batched): quantity-weighted
+    mean price per return flag — the custom-reducer surface for
+    aggregations Spark lacks built-ins for. This one IS expressible
+    (the oracle's spelling), which is what makes it oracle-checkable;
+    it exists to cover the GROUPED_AGG pandas boundary end-to-end.
+
+    100 TB note: grouped-agg pandas UDFs do NOT partial-aggregate —
+    every group's rows ship to one task (unlike built-in aggs, which
+    combine map-side). Bounded-cardinality groups only; the built-in
+    spelling is the default for anything expressible."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wmean(price, qty):
+        return float((price * qty).sum() / qty.sum())
+
+    _wmean.__annotations__ = {"price": pd.Series, "qty": pd.Series, "return": float}
+    wmean = pandas_udf(_wmean, "double")
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wmean("l_extendedprice", "l_quantity").alias("w"))
+        .select("l_returnflag", _r4(F.col("w")).alias("weighted_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    deg AS (SELECT s, COUNT(*) AS degree FROM edges GROUP BY s)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier side of the supplier↔part
+    graph — the first diagnostic run before any graph algorithm (skew
+    in this histogram predicts hot keys in pagerank/triangle joins).
+
+    Two aggregations, the second over the |V|-sized degree table.
+    100 TB note: this IS the skew detector — the production pre-flight
+    that decides whether the downstream join needs salting or a df-cap
+    (SCALE.md, dedup family)."""
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_suppliers"))
+        .orderBy("degree")
+    )

@@ -298,3 +298,126 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     ).orderBy("event_type", "resolution", "bucket_start")
+
+
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 20
+
+
+@register(
+    "timeseries_ewma",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+             list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS arr
+      FROM events
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS rn,
+           ROUND(list_sum(list_transform(arr, (v, i) -> v * pow({1 - EWMA_ALPHA}, len(arr) - i)))
+                 / list_sum(list_transform(arr, (v, i) -> pow({1 - EWMA_ALPHA}, len(arr) - i))),
+                 4) AS ewma
+    FROM seq
+    WHERE rn % 100 = 0
+    ORDER BY event_type, rn
+    """,
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.3) over the trailing
+    20 rows per event type — the smoothing primitive behind monitoring
+    dashboards. True EWMA is a recursion no window aggregate expresses;
+    the bounded-window form (weights decay to 0.7^19 ≈ 0.1%) collects
+    the frame into an array and reduces it with Catalyst higher-order
+    lambdas — all JVM-side, no UDF.
+
+    The window array is materialized as its own projection BEFORE the
+    lambda touches it (the documented Spark trap: lambdas re-evaluate
+    inlined input expressions per element — a collect_list bound
+    column evaluates once). 100 TB note: partitioned window, frame
+    state bounded at 20 doubles per row; sampled output keeps the
+    result driver-safe."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-(EWMA_WINDOW - 1), 0)
+    seq = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.collect_list("value").over(wf).alias("arr"),
+    ).filter(F.col("rn") % 100 == 0)
+    decay = 1 - EWMA_ALPHA
+    num = F.expr(
+        f"aggregate(zip_with(arr, sequence(1, size(arr)),"
+        f" (v, i) -> v * pow({decay}, size(arr) - i)), 0D, (acc, x) -> acc + x)"
+    )
+    den = F.expr(
+        f"aggregate(transform(sequence(1, size(arr)),"
+        f" i -> pow({decay}, size(arr) - i)), 0D, (acc, x) -> acc + x)"
+    )
+    return seq.select(
+        "event_type",
+        F.col("rn").cast("long").alias("rn"),
+        dround(num / den, 4).alias("ewma"),
+    ).orderBy("event_type", "rn")
+
+
+ANOMALY_MIN_HISTORY = 30
+ANOMALY_Z = 3.0
+
+
+@register(
+    "timeseries_anomaly_zscore",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+             AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS mu,
+             stddev_samp(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS sigma
+      FROM events
+    )
+    SELECT event_type, event_id, ROUND(value, 4) AS value,
+           ROUND((value - mu) / sigma, 4) AS zscore
+    FROM seq
+    WHERE rn > {ANOMALY_MIN_HISTORY} AND sigma > 0
+      AND abs((value - mu) / sigma) > {ANOMALY_Z}
+    ORDER BY event_type, event_id
+    """,
+)
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: flag events whose value
+    deviates more than 3σ from the PRECEDING 100 rows' mean (current
+    row excluded — the detector never sees the point it judges). The
+    data-quality tripwire for ingest pipelines.
+
+    One window pass, second-moment state, O(1) frame slide; the
+    minimum-history guard stops early-partition noise. 100 TB note:
+    per-key ordered windows, no global sort; emitted rows are
+    anomalies only — output is alert-sized, not data-sized."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    hist = w.rowsBetween(-100, -1)
+    seq = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.avg("value").over(hist).alias("mu"),
+        F.stddev_samp("value").over(hist).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        seq.filter(
+            (F.col("rn") > ANOMALY_MIN_HISTORY)
+            & (F.col("sigma") > 0)
+            & (F.abs(z) > ANOMALY_Z)
+        )
+        .select(
+            "event_type",
+            "event_id",
+            dround(F.col("value"), 4).alias("value"),
+            dround(z, 4).alias("zscore"),
+        )
+        .orderBy("event_type", "event_id")
+    )

@@ -28,10 +28,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two fixture quirks, both handled here: (1) the file streaming
     source requires a *directory* (each new file = one micro-batch),
     but the fixture is a single parquet file — so it is linked into a
-    per-(sf,pid) temp dir once; (2) events.ts is parquet
-    TIMESTAMP(NANOS), which Spark 4 reads only as int64 under
-    nanosAsLong — stream with the raw schema and apply the same ns→µs
-    conversion as catalog.load_table.
+    per-(sf,pid) temp dir once; (2) events.ts has shipped as either
+    parquet TIMESTAMP(NANOS) — readable in Spark 4 only as int64
+    under nanosAsLong, converted ns→µs here like catalog.load_table —
+    or TIMESTAMP(MICROS), which streams through untouched.
     """
     import hashlib
     import os
@@ -46,9 +46,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    raw_schema = spark.read.parquet(src).schema  # ts stays int64 (nanosAsLong)
+    raw_schema = spark.read.parquet(src).schema  # int64 only for nanos files
     stream = spark.readStream.schema(raw_schema).parquet(d)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP; session is UTC so the cast is
+        # value-preserving (same rule as catalog.load_table).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
