@@ -84,6 +84,11 @@ HEADLINE = [
     "cogroup_asof_merge",
     "timeseries_ewma",
     "timeseries_anomaly_zscore",
+    "stats_bootstrap_se",
+    "agg_weighted_median",
+    "pipeline_training_mix",
+    "text_redact_denylist",
+    "sim_topk_pq",
 ]
 
 
@@ -105,11 +110,24 @@ def main() -> None:
     def materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    def release_storage() -> None:
+        """Unpersist caches/localCheckpoints the previous query pinned.
+
+        Several operators localCheckpoint intermediate frames (the
+        at-scale equivalent is staging to a table); without cleanup
+        those blocks accumulate across the 60+ query run, and late
+        queries measure the storage pressure of every earlier one
+        (observed 10× slowdowns) instead of their own plan."""
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     # warm-up: JVM, codegen, parquet footer caches
     materialize(queries["q1_pricing_summary"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        release_storage()
         t0 = time.monotonic()
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)

@@ -213,3 +213,52 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "pipeline_training_mix",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 1.0
+                  WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 0.5
+                  ELSE 0.25 END AS rate,
+             ((doc_id * {KNUTH_MULT}) % {HASH_MOD}) / {HASH_MOD}.0 AS u
+      FROM documents
+    )
+    SELECT source,
+           CAST(ROUND(MAX(rate), 2) AS DOUBLE) AS rate,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (u < rate) AS BIGINT) AS n_kept
+    FROM rated GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-source training mix: each source gets a
+    target sampling rate (high-trust sources 1.0, mid 0.5, tail 0.25)
+    and rows are kept by comparing a Knuth-hash variate against it —
+    the dataset-mixing step that turns raw corpora into a training
+    blend. Reported per source: rate, population, kept count.
+
+    Subset-invariant and engine-portable like every sampler here (no
+    RNG state); the keep predicate is a pure projection evaluated
+    inside the scan, so at 100 TB the mix costs zero shuffle — the
+    audit aggregation shuffles one row per (task, source)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_num < 5, 1.0).when(src_num < 10, 0.5).otherwise(0.25)
+    )
+    u = F.pmod(F.col("doc_id") * F.lit(KNUTH_MULT), F.lit(HASH_MOD)) / F.lit(
+        float(HASH_MOD)
+    )
+    return (
+        docs.select("source", rate.alias("rate"), u.alias("u"))
+        .groupBy("source")
+        .agg(
+            dround(F.max("rate"), 2).alias("rate"),
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("u") < F.col("rate"), 1)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -493,3 +493,84 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dround(F.covar_samp("x1", "x2"), 4).alias("cov"))
         .orderBy("d1", "d2")
     )
+
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # 64-dim embeddings / 8
+PQ_K = 16  # codes per subspace
+
+
+def _pq_subvecs(df: DataFrame, vcol: str) -> DataFrame:
+    """(…, m, sv): explode a vector column into its PQ_M subvectors."""
+    subs = F.array(
+        *[F.slice(vcol, m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+    )
+    return df.select("vec_id", F.posexplode(subs).alias("m", "sv"))
+
+
+_SQDIST = "aggregate(zip_with(sv, cvec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """(m, code, cvec) codebook from the PQ_K lowest vec_ids' subvectors
+    — the deterministic seed codebook (same convention as the IVF seed
+    centroids; a trained variant would run per-subspace k-means exactly
+    like kmeans_codebook). k×M×subdim doubles — trivially broadcastable."""
+    seeds = e.orderBy("vec_id").limit(PQ_K).select("vec_id", "v").collect()
+    rows = []
+    for code, r in enumerate(sorted(seeds, key=lambda r: r["vec_id"])):
+        v = list(r["v"])
+        for m in range(PQ_M):
+            rows.append((m, code, v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]))
+    return e.sparkSession.createDataFrame(
+        rows, "m int, code int, cvec array<double>"
+    )
+
+
+@register("sim_topk_pq")  # rows-only: approximate (recall tested vs brute force)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: vectors are encoded as PQ_M=8 one-byte
+    codes (nearest of PQ_K=16 codebook entries per 8-dim subspace); a
+    query builds an 8×16 distance table and scores the corpus by
+    asymmetric distance computation (ADC) — summing table lookups
+    instead of touching floats. Top-k by estimated L2².
+
+    This is the memory-bound scale path: at 100 TB the encoded corpus
+    is M bytes/vector (64× smaller than float32×64), the distance
+    table is query-sized and broadcast, and scoring is one join +
+    groupBy over byte codes. Encoding cost is corpus × M×K subvector
+    distances, embarrassingly parallel. Recall is bounded by codebook
+    quality — the pytest checks overlap vs exact top-k and
+    determinism (seed codebook, no RNG anywhere)."""
+    e = _prepped(spark, sf_dir)
+    codebook = _pq_codebook(e)
+
+    # encode: argmin code per (vec_id, m) as min_by over a (dist, code)
+    # struct — deterministic tie-break to the lowest code, ONE hash
+    # aggregation (partial+final) instead of a window sort over the
+    # corpus × K candidate rows
+    sub = _pq_subvecs(e, "v")
+    encoded = (
+        sub.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", "code", F.expr(_SQDIST).alias("sqd"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("sqd", "code")).alias("code"))
+    )
+
+    # query ADC table: distance of the query's subvectors to every code
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID)
+    dtable = (
+        _pq_subvecs(q, "v")
+        .join(F.broadcast(codebook), "m")
+        .select("m", "code", F.expr(_SQDIST).alias("qd"))
+    )
+
+    return (
+        encoded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(dtable), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("est"))
+        .orderBy(F.col("est"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", dround("est", 4).alias("est_dist"))
+    )

@@ -112,3 +112,41 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source: lineitem columns written as ORC and read
+    back (ORC is self-describing — no schema pass, unlike CSV/JSONL),
+    aggregated to prove the round-trip is value-exact vs the parquet
+    original. ORC is the second columnar interchange format a complete
+    engine must speak; Spark's reader gives it the same pushdown +
+    pruning + vectorization as parquet.
+
+    100 TB note: columnar→columnar round-trips preserve types exactly
+    (no text parsing); the write partitions like any other — never
+    coalesce(1)."""
+    path = os.path.join(_SCRATCH, "lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            dround(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

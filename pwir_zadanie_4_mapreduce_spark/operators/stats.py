@@ -224,11 +224,26 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value").over(wseq).alias("prev"),
         F.row_number().over(wseq).alias("rn"),
     )
-    wroll = Window.partitionBy("event_type").orderBy("rn").rowsBetween(-49, 0)
+    # Sampled-anchor rewrite: output rows are every 100th position and
+    # the frame is 50 rows, so each input row feeds AT MOST ONE anchor
+    # (stride > frame). That turns the sliding-frame window — which
+    # Spark recomputes per row, on only #event_type partitions — into
+    # one hash aggregation over (type, anchor) groups: 100× less corr
+    # work and full-cluster parallelism instead of 5 tasks. The
+    # max-rn anchor guard drops trailing partial frames whose anchor
+    # row does not exist. Result identical to the frame spelling
+    # (the oracle keeps it).
+    anchor = (F.ceil(F.col("rn") / 100) * 100).cast("long")
     return (
-        seq.withColumn("roll_corr", _r4(F.corr("value", "prev").over(wroll)))
-        .filter(F.col("rn") % 100 == 0)
-        .select("event_type", F.col("rn").cast("long").alias("rn"), "roll_corr")
+        seq.withColumn("anchor", anchor)
+        .filter(F.col("anchor") - F.col("rn") <= 49)
+        .groupBy("event_type", F.col("anchor").alias("rn"))
+        .agg(
+            _r4(F.corr("value", "prev")).alias("roll_corr"),
+            F.max(F.when(F.col("rn") == F.col("anchor"), 1).otherwise(0)).alias("has_anchor"),
+        )
+        .filter(F.col("has_anchor") == 1)
+        .select("event_type", "rn", "roll_corr")
         .orderBy("event_type", "rn")
     )
 
@@ -804,7 +819,16 @@ def cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey") <= 200)
         .select("o_custkey", "o_orderkey", "o_orderdate")
     )
-    events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    # mirror the key predicate on the events side: keys outside the
+    # orders filter can only produce empty left groups (dropped by the
+    # merge), so pruning them BEFORE the cogroup shuffle is semantics-
+    # preserving and cuts the Arrow/pandas volume to the keys that
+    # matter — the join-key pushdown every cogroup pipeline should do.
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 200)
+        .select("user_id", "event_id", "ts")
+    )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
@@ -907,4 +931,112 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.groupBy("degree")
         .agg(F.count("*").alias("n_suppliers"))
         .orderBy("degree")
+    )
+
+
+BOOTSTRAP_REPS = 32
+
+
+@register(
+    "stats_bootstrap_se",
+    oracle=f"""
+    WITH reps AS (
+      SELECT b.b AS b, AVG(o_totalprice) AS rep_mean
+      FROM orders CROSS JOIN range({BOOTSTRAP_REPS}) b(b)
+      WHERE substr(md5(CAST(b.b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+      GROUP BY b.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(AVG(rep_mean), 4) AS mean_of_means,
+           ROUND(stddev_samp(rep_mean), 4) AS bootstrap_se
+    FROM reps
+    """,
+)
+def stats_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error of the mean order price: 32 half-
+    sample (m-out-of-n) replicates, each membership decided by md5
+    arithmetic on (replicate, key) — fully deterministic resampling,
+    so DuckDB draws the IDENTICAL replicates and the SE matches to
+    the rounding digit. The uncertainty-quantification staple without
+    any RNG state.
+
+    Plan: the replicate axis is a 32-way JVM-side fan-out; after the
+    membership filter the partial aggregation collapses everything to
+    32 rows per task before the shuffle. 100 TB note: one scan, B×
+    compute, B-row shuffle — bootstrap at scale is CPU-bound, never
+    shuffle-bound, exactly as here."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bs = F.explode(F.array(*[F.lit(i) for i in range(BOOTSTRAP_REPS)])).alias("b")
+    member = (
+        F.substring(
+            F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("o_orderkey").cast("string"))),
+            1,
+            1,
+        )
+        < "8"
+    )
+    reps = (
+        orders.select(bs, "o_orderkey", "o_totalprice")
+        .filter(member)
+        .groupBy("b")
+        .agg(F.avg("o_totalprice").alias("rep_mean"))
+    )
+    return reps.agg(
+        F.count("*").alias("n_replicates"),
+        _r4(F.avg("rep_mean")).alias("mean_of_means"),
+        _r4(F.stddev_samp("rep_mean")).alias("bootstrap_se"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND(MIN(l_extendedprice), 4) AS weighted_median
+    FROM w
+    WHERE cum_w >= tot_w / 2
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (price weighted by quantity) per return flag:
+    sort within group, take the first value whose cumulative weight
+    crosses half the total — the robust-statistics aggregate SQL lacks
+    a built-in for. Total order inside each group is made explicit
+    (price, orderkey, linenumber) so the crossing row is unique and
+    engine-independent.
+
+    One window pass + one min-aggregation, both partitioned by the
+    group key. 100 TB note: the in-group sort is the cost; for
+    unbounded groups the approx path is weight-aware t-digest —
+    same query shape, swapped aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wcum).alias("cum_w"),
+        F.sum("l_quantity").over(wtot).alias("tot_w"),
+    )
+    return (
+        w.filter(F.col("cum_w") >= F.col("tot_w") / 2)
+        .groupBy("l_returnflag")
+        .agg(_r4(F.min("l_extendedprice")).alias("weighted_median"))
+        .orderBy("l_returnflag")
     )

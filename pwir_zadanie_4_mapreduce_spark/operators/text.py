@@ -462,3 +462,45 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+REDACT_PATTERN = r"\b(customer|vector|key)\b"
+
+
+@register(
+    "text_redact_denylist",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS INTEGER)
+               AS n_redactions,
+           CAST(length(regexp_replace(text, '{REDACT_PATTERN}', '[X]', 'g')) AS INTEGER)
+               AS redacted_len
+    FROM documents
+    WHERE doc_id < 200
+      AND len(regexp_extract_all(text, '{REDACT_PATTERN}')) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_redact_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist term redaction — the scrubbing pass of a training-data
+    pipeline (PII patterns, contamination markers, policy terms), here
+    with a word-boundary regex over a fixed denylist. Reports per-doc
+    hit counts and post-redaction length; the same regexp text runs in
+    both engines (word-boundary \\b is common to Java regex and RE2).
+
+    100 TB note: pure per-row projection inside the scan — no shuffle,
+    scales with executors; the production variant compiles the
+    denylist to one alternation exactly like this (regex size, not
+    corpus size, is the cost knob)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    n_red = F.size(F.regexp_extract_all(F.col("text"), F.lit(REDACT_PATTERN), 0))
+    redacted = F.regexp_replace("text", REDACT_PATTERN, "[X]")
+    return (
+        docs.select(
+            "doc_id",
+            n_red.alias("n_redactions"),
+            F.length(redacted).alias("redacted_len"),
+        )
+        .filter(F.col("n_redactions") > 0)
+        .orderBy("doc_id")
+    )

@@ -221,3 +221,36 @@ def test_expectations_single_scan(spark):
 
     scans = read_schema_columns(quality_expectations(spark, SMOKE_SF))
     assert len(scans) == 1, scans
+
+
+def test_bigram_lm_model_joins_broadcast(spark):
+    """The unigram table and vocab scalar must broadcast — the corpus
+    side never reshuffles for model lookups."""
+    from pwir_zadanie_4_mapreduce_spark.operators.stats import text_bigram_lm_score
+
+    assert has_broadcast_join(text_bigram_lm_score(spark, SMOKE_SF))
+
+
+def test_bloom_probe_broadcasts_bits(spark):
+    """The bloom bit set is broadcast; the probe side is map-side only."""
+    from pwir_zadanie_4_mapreduce_spark.operators.stats import sketch_bloom_membership
+
+    assert has_broadcast_join(sketch_bloom_membership(spark, SMOKE_SF))
+
+
+def test_rolling_corr_no_single_partition_window(spark):
+    """The sampled-anchor rewrite must not introduce a global-order
+    window (SinglePartition) — per-type windows + hash agg only."""
+    from pwir_zadanie_4_mapreduce_spark.operators.stats import window_rolling_corr
+
+    plan = explain_str(window_rolling_corr(spark, SMOKE_SF))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_training_mix_no_shuffle_before_audit(spark):
+    """The mix predicate is a pure projection: exactly one exchange
+    (the audit groupBy) in the whole plan."""
+    from pwir_zadanie_4_mapreduce_spark.operators.sampling import pipeline_training_mix
+
+    plan = explain_str(pipeline_training_mix(spark, SMOKE_SF))
+    assert plan.count("Arguments: hashpartitioning") <= 1, plan
