@@ -89,6 +89,8 @@ HEADLINE = [
     "pipeline_training_mix",
     "text_redact_denylist",
     "sim_topk_pq",
+    "text_shingle_novelty",
+    "layout_pruning_stats",
 ]
 
 

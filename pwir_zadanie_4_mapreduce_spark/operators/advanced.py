@@ -1700,3 +1700,101 @@ def layout_zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+PRUNE_CUST_LO, PRUNE_CUST_HI = 40, 80
+PRUNE_DATE_LO, PRUNE_DATE_HI = "1996-01-01", "1996-12-31"
+
+
+@register(
+    "layout_pruning_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey % {1 << ZORDER_BITS} AS cx,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % {1 << ZORDER_BITS}
+                   AS dy,
+               o_custkey, CAST(o_orderdate AS DATE) AS od
+        FROM orders),
+    m AS (
+        SELECT o_custkey, od,
+               ({_morton_terms('cx', 'dy', '//')}) // {1 << ZORDER_BLOCK_SHIFT}
+                   AS block
+        FROM base),
+    blocks AS (
+        SELECT block, COUNT(*) AS n,
+               MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+               MIN(od) AS min_date, MAX(od) AS max_date
+        FROM m GROUP BY block),
+    kept AS (
+        SELECT * FROM blocks
+        WHERE max_cust >= {PRUNE_CUST_LO} AND min_cust <= {PRUNE_CUST_HI}
+          AND max_date >= DATE '{PRUNE_DATE_LO}' AND min_date <= DATE '{PRUNE_DATE_HI}')
+    SELECT CAST((SELECT COUNT(*) FROM blocks) AS BIGINT) AS n_blocks,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT)   AS n_blocks_kept,
+           CAST((SELECT SUM(n) FROM blocks) AS BIGINT)   AS rows_total,
+           CAST((SELECT SUM(n) FROM kept) AS BIGINT)     AS rows_scanned,
+           CAST((SELECT COUNT(*) FROM m
+                 WHERE o_custkey BETWEEN {PRUNE_CUST_LO} AND {PRUNE_CUST_HI}
+                   AND od BETWEEN DATE '{PRUNE_DATE_LO}' AND DATE '{PRUNE_DATE_HI}')
+                AS BIGINT) AS rows_matching
+    """,
+)
+def layout_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit over the Z-order layout: a
+    2-D range predicate (customer × order date) is evaluated against
+    the per-block min/max envelopes from layout_zorder_blocks, and the
+    query reports blocks kept, rows the pruned scan would read, and
+    the true matching rows — the manifest-pruning arithmetic a
+    lakehouse planner (Delta/Iceberg file skipping) runs before
+    touching data.
+
+    100 TB note: this audit is how you VERIFY a layout earns its keep
+    — rows_scanned/rows_total is the scan-cost ratio the envelope
+    stats buy, and it runs on block metadata (thousands of rows), not
+    on the table."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", F.to_date("o_orderdate").alias("od"))
+        .withColumn("cx", F.col("o_custkey") % (1 << ZORDER_BITS))
+        .withColumn(
+            "dy",
+            F.datediff("od", F.lit("1970-01-01").cast("date")) % (1 << ZORDER_BITS),
+        )
+        .withColumn(
+            "block",
+            F.expr(f"({_morton_terms('cx', 'dy', 'div')}) div {1 << ZORDER_BLOCK_SHIFT}"),
+        )
+    )
+    base = base.localCheckpoint(eager=False)  # blocks + exact count reuse it
+    blocks = base.groupBy("block").agg(
+        F.count("*").alias("n"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.min("od").alias("min_date"),
+        F.max("od").alias("max_date"),
+    )
+    kept = blocks.filter(
+        (F.col("max_cust") >= PRUNE_CUST_LO)
+        & (F.col("min_cust") <= PRUNE_CUST_HI)
+        & (F.col("max_date") >= F.lit(PRUNE_DATE_LO).cast("date"))
+        & (F.col("min_date") <= F.lit(PRUNE_DATE_HI).cast("date"))
+    )
+    totals = blocks.agg(
+        F.count("*").alias("n_blocks"), F.sum("n").alias("rows_total")
+    )
+    kept_tot = kept.agg(
+        F.count("*").alias("n_blocks_kept"), F.sum("n").alias("rows_scanned")
+    )
+    matching = base.filter(
+        F.col("o_custkey").between(PRUNE_CUST_LO, PRUNE_CUST_HI)
+        & F.col("od").between(
+            F.lit(PRUNE_DATE_LO).cast("date"), F.lit(PRUNE_DATE_HI).cast("date")
+        )
+    ).agg(F.count("*").alias("rows_matching"))
+    return (
+        totals.crossJoin(F.broadcast(kept_tot))
+        .crossJoin(F.broadcast(matching))
+        .select(
+            "n_blocks", "n_blocks_kept", "rows_total", "rows_scanned", "rows_matching"
+        )
+    )

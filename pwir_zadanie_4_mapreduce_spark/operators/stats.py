@@ -1040,3 +1040,59 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_r4(F.min("l_extendedprice")).alias("weighted_median"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "stats_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
+    my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+    tot AS (SELECT SUM(c) AS n FROM cells)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(((SELECT COUNT(*) FROM mx) - 1) * ((SELECT COUNT(*) FROM my) - 1)
+                AS INTEGER) AS dof,
+           ROUND(SUM(pow(cells.c - mx.cx::DOUBLE * my.cy / tot.n, 2)
+                     / (mx.cx::DOUBLE * my.cy / tot.n)), 4) AS chi2
+    FROM cells
+    JOIN mx USING (x) JOIN my USING (y)
+    CROSS JOIN tot
+    """,
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test on the priority × status
+    contingency table — the significance-test complement of
+    stats_mutual_information (same cells/margins plan: one fact
+    aggregation, everything after is O(|X|·|Y|) on broadcasts).
+
+    Note χ² sums over OBSERVED cells only; absent combinations would
+    each add their expected count — with this table's full support the
+    two definitions coincide, and the oracle mirrors the observed-cell
+    sum exactly."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    )
+    cells = orders.groupBy("x", "y").agg(F.count("*").alias("c"))
+    cells = cells.localCheckpoint(eager=False)
+    mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    nx = mx.agg(F.count("*").alias("nx"))
+    ny = my.agg(F.count("*").alias("ny"))
+    expected = F.col("cx").cast("double") * F.col("cy") / F.col("n")
+    term = F.pow(F.col("c") - expected, 2) / expected
+    return (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(ny))
+        .agg(
+            F.count("*").alias("n_cells"),
+            ((F.max("nx") - 1) * (F.max("ny") - 1)).cast("int").alias("dof"),
+            dround(F.sum(term), 4).alias("chi2"),
+        )
+    )

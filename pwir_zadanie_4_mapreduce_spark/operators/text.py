@@ -504,3 +504,55 @@ def text_redact_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_redactions") > 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_shingle_novelty",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        FROM documents),
+    posting AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    df AS (SELECT s, COUNT(*) AS df FROM posting GROUP BY s)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           ROUND(COUNT(*) FILTER (df.df = 1)::DOUBLE / COUNT(*), 4) AS novelty
+    FROM posting p JOIN df USING (s)
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-word
+    shingles that occur in NO other document — the memorization-risk /
+    boilerplate metric of corpus curation (novelty ≈ 0 means the doc
+    is assembled from corpus-common phrases; ≈ 1 means unique text).
+    Shares the hashed-shingle posting with the dedup family (dedup.py
+    _hashed_shingles): 8-byte hashes, shingle strings never built.
+
+    Plan: one df aggregation over the posting + one join back + one
+    per-doc aggregation — all on skinny longs. 100 TB note: the df
+    table is the same artifact the decontamination and df-cap passes
+    compute; production pipelines build it once per corpus snapshot
+    and every curation metric reads it."""
+    from pwir_zadanie_4_mapreduce_spark.operators.dedup import _hashed_shingles
+
+    sh = _hashed_shingles(spark, sf_dir)
+    posting = sh.select("doc_id", F.explode("hs").alias("h")).localCheckpoint(
+        eager=False
+    )
+    df = posting.groupBy("h").agg(F.count("*").alias("df"))
+    return (
+        posting.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            dround(
+                F.count(F.when(F.col("df") == 1, 1)).cast("double") / F.count("*"), 4
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
