@@ -91,6 +91,7 @@ HEADLINE = [
     "sim_topk_pq",
     "text_shingle_novelty",
     "layout_pruning_stats",
+    "udf_arrow_batch_map",
 ]
 
 

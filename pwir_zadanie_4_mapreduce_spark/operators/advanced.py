@@ -1798,3 +1798,100 @@ def layout_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_blocks", "n_blocks_kept", "rows_total", "rows_scanned", "rows_matching"
         )
     )
+
+
+@register(
+    "sql_api_priority_share_cte",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+             o_orderpriority,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT m, o_orderpriority,
+           ROUND(rev, 4) AS revenue,
+           ROUND(rev / SUM(rev) OVER (PARTITION BY m), 4) AS share
+    FROM daily
+    ORDER BY m, o_orderpriority
+    """,
+)
+def sql_api_priority_share_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end breadth check: a CTE + aggregation + window query
+    run VERBATIM through spark.sql over the registered views — proving
+    the free SQL API (SURVEY.md §7.6) handles the composite shapes a
+    reference user would type, not just star joins. The same text
+    (modulo ROUND placement) is the oracle.
+
+    Catalyst plans the CTE once; the share window partitions by month
+    — no global sort."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """
+        WITH daily AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+                 o_orderpriority,
+                 SUM(o_totalprice) AS rev
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT m, o_orderpriority,
+               rev AS revenue,
+               rev / SUM(rev) OVER (PARTITION BY m) AS share
+        FROM daily
+        ORDER BY m, o_orderpriority
+        """
+    )
+    return out.select(
+        "m",
+        "o_orderpriority",
+        dround(F.col("revenue"), 4).alias("revenue"),
+        dround(F.col("share"), 4).alias("share"),
+    )
+
+
+@register(
+    "udf_arrow_batch_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def udf_arrow_batch_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python boundary: whole Arrow
+    record batches in and out, no pandas conversion (the step below
+    mapInPandas in the UDF-cost ladder; SURVEY.md §2.2 'UDF surface').
+    The computation is columnar pyarrow.compute calls, so even the
+    Python side is vectorized C.
+
+    The worker fn is a closure (no module-global references — workers
+    unpickle it by value; the documented driver-cwd trap). 100 TB
+    note: batch size bounds worker memory via
+    maxRecordsPerBatch, same as every Arrow surface here."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            net = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"), net],
+                ["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+    out = li.mapInArrow(
+        batches, "l_orderkey bigint, l_linenumber int, net_price double"
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", dround(F.col("net_price"), 4).alias("net_price")
+    )

@@ -556,3 +556,44 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS true_lang,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('es')} AS s_es,
+               regexp_matches(text, '[一-鿿]') AS has_cjk
+        FROM documents),
+    pred AS (
+        SELECT true_lang,
+               CASE WHEN has_cjk THEN 'zh'
+                    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                    WHEN s_de >= s_es THEN 'de'
+                    ELSE 'es' END AS predicted_lang
+        FROM scored)
+    SELECT true_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_lang, predicted_lang
+    ORDER BY true_lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-audit confusion matrix for the marker-word language
+    identifier (text_langid): labeled lang × predicted lang counts —
+    the accuracy dashboard every heuristic filter in a curation
+    pipeline needs before its threshold is trusted.
+
+    Composition of an existing operator with one aggregation — zero
+    new scan logic; at 100 TB the matrix is |langs|² rows from one
+    corpus pass."""
+    scored = text_langid(spark, sf_dir)
+    return (
+        scored.groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_lang", "predicted_lang")
+    )
