@@ -397,14 +397,36 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     anomalies only — output is alert-sized, not data-sized."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    hist = w.rowsBetween(-100, -1)
-    seq = ev.select(
+    # Running-moments rewrite: Spark recomputes bounded sliding frames
+    # from scratch on every row (avg/stddev have no inverse/retract
+    # path), so the naive 100-row frame costs 100× per row. Cumulative
+    # sums over an UNBOUNDED-preceding frame ARE incremental; the
+    # trailing-window moments fall out of two lagged differences:
+    #   Σ[rn-101, rn-1] = cum(rn-1) - cum(rn-101)
+    # with n = min(rn-1, 100). Same numbers as the frame spelling
+    # (the oracle keeps stddev_samp over the explicit frame).
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq0 = ev.select(
         "event_type",
         "event_id",
         "value",
         F.row_number().over(w).alias("rn"),
-        F.avg("value").over(hist).alias("mu"),
-        F.stddev_samp("value").over(hist).alias("sigma"),
+        F.sum("value").over(run).alias("cum"),
+        F.sum(F.col("value") * F.col("value")).over(run).alias("cumsq"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("rn")  # ts projected away
+    n = F.least(F.col("rn") - 1, F.lit(101 - 1))
+    s1 = F.lag("cum", 1).over(w2) - F.coalesce(F.lag("cum", 101).over(w2), F.lit(0.0))
+    s2 = F.lag("cumsq", 1).over(w2) - F.coalesce(
+        F.lag("cumsq", 101).over(w2), F.lit(0.0)
+    )
+    seq = seq0.select(
+        "event_type",
+        "event_id",
+        "value",
+        "rn",
+        (s1 / n).alias("mu"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("sigma"),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
