@@ -92,6 +92,9 @@ HEADLINE = [
     "text_shingle_novelty",
     "layout_pruning_stats",
     "udf_arrow_batch_map",
+    "pipeline_vocab_coverage",
+    "events_attribution_last_touch",
+    "events_markov_transitions",
 ]
 
 

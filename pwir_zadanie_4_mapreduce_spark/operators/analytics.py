@@ -880,3 +880,174 @@ def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_new",
         F.sum("n_new").over(w).alias("running_distinct_users"),
     ).orderBy("event_type", "d")
+
+
+@register("agg_hll_intersection")  # rows-only: sketch estimates are library-specific
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from MERGEABLE sketches: distinct
+    users doing 'click' AND 'purchase' estimated by inclusion-
+    exclusion — |A∩B| ≈ |A| + |B| − |A∪B| — where every term is an
+    HLL estimate and the union comes from hll_union of the two
+    per-type sketches, NOT a re-scan. Checked against the exact
+    intersection (rel-err asserted in tests/test_analytics.py).
+
+    100 TB note: this is why sketch stores exist — any pairwise
+    overlap across pre-computed per-segment sketches is answerable in
+    sketch space (KB), where exact intersection would shuffle the
+    distinct pairs of both segments. Inclusion-exclusion error grows
+    when the intersection is small relative to the sets; the audit
+    column quantifies it."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.countDistinct("user_id").alias("exact_n"))
+    est = sk.agg(
+        F.sum(F.hll_sketch_estimate(F.col("sk"))).alias("sum_each"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+    )
+    exact_inter = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .filter(F.col("k") == 2)
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact_inter))
+        .select(
+            (F.col("sum_each") - F.col("est_union")).cast("long").alias("est_intersection"),
+            F.col("est_union").cast("long").alias("est_union"),
+            "exact_intersection",
+        )
+    )
+
+
+ATTRIB_WINDOW_DAYS = 7
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id,
+           ROUND(p.value, 4) AS value,
+           c.click_id AS attributed_click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+    WHERE p.purchase_ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAY <= COALESCE(c.click_ts, p.purchase_ts)
+    ORDER BY p.purchase_id
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    most recent click within a 7-day lookback — the marketing-
+    analytics as-of variant with a recency bound. Same union+window
+    single-shuffle plan as join_asof_last_event_before_order; the
+    lookback is a post-filter on the carried-forward click timestamp
+    (purchases whose last click is older than the window are dropped,
+    matching the oracle's WHERE on the ASOF result).
+
+    100 TB note: ONE shuffle on (user, ts); per-user state is one
+    carried row. The naive 'join clicks within 7 days then take max'
+    materializes every (purchase × recent click) pair first."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("event_id").alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "side", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        purchases.unionByName(clicks)
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn(
+            "last_click_ts",
+            F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w),
+        )
+    )
+    return (
+        merged.filter(F.col("side") == 1)
+        .filter(
+            F.col("ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_DAYS} DAYS")
+            <= F.coalesce(F.col("last_click_ts"), F.col("ts"))
+        )
+        .select(
+            "purchase_id",
+            dround(F.col("value"), 4).alias("value"),
+            F.col("last_click_id").alias("attributed_click_id"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, CAST(c AS BIGINT) AS n,
+           ROUND(c::DOUBLE / SUM(c) OVER (PARTITION BY prev_type), 4) AS p
+    FROM trans
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous) — the behavioral model
+    behind journey analysis and synthetic-session generation, and the
+    matrix form of events_session_paths' path mining.
+
+    One lag window per user + one aggregation; the row-normalization
+    window runs over the |types|² transition table, not the events.
+    100 TB note: the transition matrix is types²-bounded — after the
+    first aggregation everything is metadata-scale."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return (
+        trans.select(
+            "prev_type",
+            "next_type",
+            "n",
+            dround(F.col("n").cast("double") / F.sum("n").over(wnorm), 4).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

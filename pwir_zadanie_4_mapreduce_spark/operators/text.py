@@ -597,3 +597,65 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("true_lang", "predicted_lang")
     )
+
+
+VOCAB_SIZE = 256
+
+
+@register(
+    "pipeline_vocab_coverage",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    top AS (
+      SELECT w, c FROM counts ORDER BY c DESC, w LIMIT {VOCAB_SIZE}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM counts) AS BIGINT) AS vocab_full,
+           CAST((SELECT COUNT(*) FROM top) AS BIGINT)    AS vocab_kept,
+           CAST((SELECT SUM(c) FROM counts) AS BIGINT)   AS tokens_total,
+           CAST((SELECT SUM(c) FROM top) AS BIGINT)      AS tokens_covered,
+           ROUND((SELECT SUM(c) FROM top)::DOUBLE
+                 / (SELECT SUM(c) FROM counts), 4)       AS coverage
+    """,
+)
+def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build audit: take the top-{VOCAB_SIZE}
+    tokens by corpus frequency (deterministic tie-break) and report
+    what fraction of all token OCCURRENCES they cover — the
+    vocabulary-size/OOV-rate trade-off curve point every tokenizer
+    training run evaluates.
+
+    One token aggregation; the top-K is TakeOrderedAndProject over the
+    vocab-sized count table (never a global sort of the corpus);
+    totals re-aggregate the same table. 100 TB note: the count table
+    is Zipf-bounded — this audit costs one corpus pass regardless of
+    K, and sweeping K reuses the same counts."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("w")
+    )
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    counts = counts.localCheckpoint(eager=False)  # top + totals reuse it
+    top = counts.orderBy(F.desc("c"), "w").limit(VOCAB_SIZE)
+    totals = counts.agg(
+        F.count("*").alias("vocab_full"), F.sum("c").alias("tokens_total")
+    )
+    kept = top.agg(
+        F.count("*").alias("vocab_kept"), F.sum("c").alias("tokens_covered")
+    )
+    return (
+        totals.crossJoin(F.broadcast(kept))
+        .select(
+            "vocab_full",
+            "vocab_kept",
+            "tokens_total",
+            "tokens_covered",
+            dround(
+                F.col("tokens_covered").cast("double") / F.col("tokens_total"), 4
+            ).alias("coverage"),
+        )
+    )

@@ -103,3 +103,15 @@ def test_rfm_quartiles_partition_users(spark):
         assert set(sizes) <= {1, 2, 3, 4}
         assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
         assert sum(sizes.values()) == n
+
+
+def test_hll_intersection_tolerance(spark):
+    from pwir_zadanie_4_mapreduce_spark.operators.analytics import agg_hll_intersection
+    from tests.conftest import SMOKE_SF
+
+    row = agg_hll_intersection(spark, SMOKE_SF).collect()[0]
+    exact = row["exact_intersection"]
+    assert exact > 0
+    # inclusion-exclusion compounds the ~1.6% RSE of three estimates;
+    # the sets here overlap heavily, so 10% is a safe determinism bound
+    assert abs(row["est_intersection"] - exact) / exact < 0.10, row
