@@ -95,6 +95,8 @@ HEADLINE = [
     "pipeline_vocab_coverage",
     "events_attribution_last_touch",
     "events_markov_transitions",
+    "sample_balanced_classes",
+    "stats_ks_test",
 ]
 
 

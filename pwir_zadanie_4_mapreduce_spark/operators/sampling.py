@@ -262,3 +262,59 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+    WITH sized AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ),
+    target AS (SELECT MIN(n) AS k FROM sized),
+    ranked AS (
+      SELECT e.label, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.label
+               ORDER BY substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8), e.vec_id
+             ) AS rk
+      FROM embeddings e
+    )
+    SELECT r.label,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(t.k) AS BIGINT) AS target_per_class
+    FROM ranked r CROSS JOIN target t
+    WHERE r.rk <= t.k
+    GROUP BY r.label
+    ORDER BY r.label
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-size rows, selected by md5 order — the imbalance fix
+    before training a classifier, deterministic and subset-stable
+    (adding majority-class rows never changes which minority rows
+    survive; it can only re-rank majority candidates).
+
+    One count agg (broadcast scalar) + one per-label window — the
+    stratified-sample plan with a data-derived K. 100 TB note:
+    per-label windows parallelize across labels; a hot label bounds a
+    task at its own row count, the same profile as
+    sample_stratified_orders."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    sized = e.groupBy("label").agg(F.count("*").alias("n"))
+    target = sized.agg(F.min("n").alias("k"))
+    rank_hash = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8)
+    w = Window.partitionBy("label").orderBy(rank_hash.asc(), F.col("vec_id").asc())
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("k").alias("target_per_class"),
+        )
+        .orderBy("label")
+    )

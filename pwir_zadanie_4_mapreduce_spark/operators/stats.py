@@ -1096,3 +1096,72 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum(term), 4).alias("chi2"),
         )
     )
+
+
+@register(
+    "stats_ks_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    per_value AS (
+      SELECT value,
+             COUNT(*) FILTER (arm = 'A') AS ca,
+             COUNT(*) FILTER (arm = 'B') AS cb
+      FROM assigned GROUP BY value
+    ),
+    tot AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_value
+    ),
+    ecdf AS (
+      SELECT SUM(ca) OVER (ORDER BY value) AS cum_a,
+             SUM(cb) OVER (ORDER BY value) AS cum_b
+      FROM per_value
+    )
+    SELECT CAST(MAX(tot.na) AS BIGINT) AS n_a,
+           CAST(MAX(tot.nb) AS BIGINT) AS n_b,
+           ROUND(MAX(abs(ecdf.cum_a::DOUBLE / tot.na
+                         - ecdf.cum_b::DOUBLE / tot.nb)), 4) AS ks_d
+    FROM ecdf CROSS JOIN tot
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the md5-assigned
+    A/B arms (same deterministic split as stats_ab_test_ztest): the
+    distribution-shape complement of the mean z-test — D = max ECDF
+    gap, evaluated at distinct values so ties are handled identically
+    in both engines.
+
+    Plan: group to DISTINCT values first (per-value arm counts), THEN
+    one global running-sum window over that value table — the global
+    order is over distinct metric values, not events. 100 TB note:
+    for continuous metrics quantize values into fixed bins first; the
+    binned ECDF gives D to bin-width accuracy with a bounded table —
+    same plan shape, no global sort of raw data either way."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm_a = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+    per_value = ev.groupBy("value").agg(
+        F.count(F.when(arm_a, 1)).alias("ca"),
+        F.count(F.when(~arm_a, 1)).alias("cb"),
+    )
+    per_value = per_value.localCheckpoint(eager=False)  # totals + ecdf reuse
+    tot = per_value.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = per_value.select(
+        F.sum("ca").over(wv).alias("cum_a"), F.sum("cb").over(wv).alias("cum_b")
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("na")
+        - F.col("cum_b").cast("double") / F.col("nb")
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            _r4(F.max(gap)).alias("ks_d"),
+        )
+    )
