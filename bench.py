@@ -97,6 +97,8 @@ HEADLINE = [
     "events_markov_transitions",
     "sample_balanced_classes",
     "stats_ks_test",
+    "text_repetition_score",
+    "multimodal_pair_align",
 ]
 
 

@@ -241,3 +241,42 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("end_ms"),
         (F.col("start_ms") + AUDIO_STRIDE_MS >= F.col("duration_ms")).alias("is_last"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "multimodal_pair_align",
+    oracle="""
+    WITH d AS (SELECT doc_id, source FROM documents),
+         e AS (SELECT vec_id, label FROM embeddings)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_paired,
+           CAST(COUNT(*) - COUNT(e.vec_id) AS BIGINT) AS n_unpaired
+    FROM d LEFT JOIN e ON d.doc_id = e.vec_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def multimodal_pair_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-alignment audit: join the text corpus to the embedding
+    store on the shared id and report per-source pairing coverage —
+    the dataset-assembly pre-flight for any multimodal training run
+    (every caption needs its vector; silently dropped pairs skew the
+    mix). The left join keeps unpaired documents countable instead of
+    discarding them.
+
+    100 TB note: id-to-id equi join — bucket both stores on the id at
+    write time and the audit is exchange-free (tests/test_bucketing.py
+    proves the plan); the per-source rollup shuffles one row per
+    (task, source)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("vec_id").alias("n_paired"),
+            (F.count("*") - F.count("vec_id")).alias("n_unpaired"),
+        )
+        .orderBy("source")
+    )

@@ -659,3 +659,55 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+                 AS bigrams
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS INTEGER) AS n_bigrams,
+           ROUND(1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams), 4)
+               AS dup_bigram_frac
+    FROM bg
+    WHERE len(bigrams) > 0 AND 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams) > 0.2
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher-rules staple):
+    the fraction of a doc's word bigrams that are duplicates of an
+    earlier bigram in the SAME doc — high values flag boilerplate,
+    keyword stuffing, and degenerate generations. Docs above the 0.2
+    threshold are emitted for removal.
+
+    All-lambda plan: bigram construction, distinct and the ratio are
+    Catalyst array expressions inside the scan projection — zero
+    shuffle, zero Python. Complements text_shingle_novelty (CROSS-doc
+    uniqueness) with the IN-doc axis."""
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frac = 1.0 - F.size(F.array_distinct(F.col("bigrams"))).cast("double") / F.size(
+        "bigrams"
+    )
+    return (
+        docs.select("doc_id", bigrams.alias("bigrams"))
+        .filter(F.size("bigrams") > 0)
+        .select(
+            "doc_id",
+            F.size("bigrams").alias("n_bigrams"),
+            dround(frac, 4).alias("dup_bigram_frac"),
+        )
+        .filter(F.col("dup_bigram_frac") > 0.2)
+        .orderBy("doc_id")
+    )
