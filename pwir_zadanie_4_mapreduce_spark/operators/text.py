@@ -687,15 +687,16 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword stuffing, and degenerate generations. Docs above the 0.2
     threshold are emitted for removal.
 
-    All-lambda plan: bigram construction, distinct and the ratio are
-    Catalyst array expressions inside the scan projection — zero
-    shuffle, zero Python. Complements text_shingle_novelty (CROSS-doc
-    uniqueness) with the IN-doc axis."""
-    bigrams = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))"
-    )
+    All-lambda plan: bigram construction (zip_with over shifted
+    slices — word_shingles; the transform-over-index spelling
+    re-evaluates split(text) per element, the documented O(len²)
+    trap), distinct and the ratio are Catalyst array expressions
+    inside the scan projection — zero shuffle, zero Python.
+    Complements text_shingle_novelty (CROSS-doc uniqueness) with the
+    IN-doc axis."""
+    from pwir_zadanie_4_mapreduce_spark.functions.textfn import word_shingles
+
+    bigrams = word_shingles(F.col("text"), 2)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     frac = 1.0 - F.size(F.array_distinct(F.col("bigrams"))).cast("double") / F.size(
         "bigrams"
