@@ -254,3 +254,16 @@ def test_training_mix_no_shuffle_before_audit(spark):
 
     plan = explain_str(pipeline_training_mix(spark, SMOKE_SF))
     assert plan.count("Arguments: hashpartitioning") <= 1, plan
+
+
+def test_cdc_full_outer_uses_sort_merge(spark):
+    """Full-outer fact-fact joins can't broadcast: the engine must fall
+    to sort-merge — together with the broadcast assertions above and
+    the bucketed zero-exchange join (test_bucketing.py), all three
+    join strategies are exercised and plan-verified."""
+    from pwir_zadanie_4_mapreduce_spark.operators.advanced import (
+        cdc_orders_snapshot_diff,
+    )
+
+    plan = explain_str(cdc_orders_snapshot_diff(spark, SMOKE_SF))
+    assert "SortMergeJoin" in plan, plan
