@@ -555,11 +555,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs scoring highest are the most 'typical' text). Top 20 shown.
 
     Plan: tokenization and bigram construction are Catalyst lambda
-    expressions (no Python); counts are two hash aggregations; the
+    expressions (no Python); the bigram count rides a COUNT window
+    over the (w1,w2) partition — ONE shuffle of the posting where the
+    count-table + join-back spelling pays two on the same key; the
     unigram table and vocab scalar broadcast back. 100 TB note: the
     model tables are vocab-bounded (Zipf), so scoring is one corpus
-    scan + broadcast joins — at trillion-token scale the bigram table
-    itself shards and the join keys on (w1,w2) stay a hash join."""
+    scan + one posting shuffle + broadcast joins."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("t")
     )
@@ -577,9 +578,9 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select("doc_id", F.explode(bigram_expr).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    wc2 = Window.partitionBy("w1", "w2")
     scored = (
-        bg.join(c2, ["w1", "w2"])
+        bg.withColumn("c2", F.count("*").over(wc2))
         .join(F.broadcast(c1), bg["w1"] == c1["w"])
         .crossJoin(F.broadcast(vocab))
         .select(

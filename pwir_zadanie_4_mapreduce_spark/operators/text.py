@@ -533,20 +533,19 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares the hashed-shingle posting with the dedup family (dedup.py
     _hashed_shingles): 8-byte hashes, shingle strings never built.
 
-    Plan: one df aggregation over the posting + one join back + one
-    per-doc aggregation — all on skinny longs. 100 TB note: the df
-    table is the same artifact the decontamination and df-cap passes
-    compute; production pipelines build it once per corpus snapshot
-    and every curation metric reads it."""
+    Plan: the shingle document frequency rides a COUNT window over the
+    hash partition — ONE posting shuffle (the df-table + join-back
+    spelling pays two on the same key) — then one per-doc aggregation,
+    all on skinny longs. 100 TB note: when the df table already exists
+    as a corpus artifact (decontamination / df-cap build it), joining
+    it back is the right plan; computed inline, the window wins."""
     from pwir_zadanie_4_mapreduce_spark.operators.dedup import _hashed_shingles
+    from pyspark.sql.window import Window
 
     sh = _hashed_shingles(spark, sf_dir)
-    posting = sh.select("doc_id", F.explode("hs").alias("h")).localCheckpoint(
-        eager=False
-    )
-    df = posting.groupBy("h").agg(F.count("*").alias("df"))
+    posting = sh.select("doc_id", F.explode("hs").alias("h"))
     return (
-        posting.join(df, "h")
+        posting.withColumn("df", F.count("*").over(Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
