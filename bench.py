@@ -99,6 +99,7 @@ HEADLINE = [
     "stats_ks_test",
     "text_repetition_score",
     "multimodal_pair_align",
+    "warehouse_incremental_mv",
 ]
 
 

@@ -1051,3 +1051,78 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+MV_BUMP_MOD = 97  # orders with key % 97 == 0 form the simulated delta batch
+
+
+@register(
+    "warehouse_incremental_mv",
+    oracle=f"""
+    WITH updated AS (
+      SELECT o_orderpriority,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+             CASE WHEN o_orderkey % {MV_BUMP_MOD} = 0
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT o_orderpriority, m,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(price), 4) AS revenue
+    FROM updated GROUP BY o_orderpriority, m
+    ORDER BY o_orderpriority, m
+    """,
+)
+def warehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a revenue-by-
+    (priority, month) MV is refreshed after a delta batch (simulated
+    10% price bump on keys ≡ 0 mod {MV_BUMP_MOD}) by recomputing ONLY
+    the groups the delta touches and carrying every other group
+    forward from the stale MV — the refresh algorithm behind
+    continuous aggregates and warehouse MVs. The ORACLE is the full
+    recompute over the updated table: the hash-match IS the proof the
+    incremental plan loses nothing.
+
+    Plan: stale MV (one agg) anti-joined to the delta's affected-group
+    set (tiny, broadcast) keeps untouched groups without rescanning
+    their rows; affected groups recompute from the updated base with
+    the group predicate semi-joined down. 100 TB note: refresh cost is
+    O(affected partition data + MV size), not O(history) — with the
+    base partitioned by month the recompute scan prunes at the source,
+    which is why MV grain should include the partition column."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        "o_totalprice",
+    )
+    is_delta = F.col("o_orderkey") % MV_BUMP_MOD == 0
+    updated = orders.withColumn(
+        "price", F.when(is_delta, F.col("o_totalprice") * 1.1).otherwise(F.col("o_totalprice"))
+    )
+    # the stale MV, as it existed before the delta arrived
+    stale_mv = orders.groupBy("o_orderpriority", "m").agg(
+        F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("rev")
+    )
+    # groups the delta batch touches — delta-batch-sized, broadcast
+    affected = (
+        updated.filter(is_delta).select("o_orderpriority", "m").distinct()
+    ).localCheckpoint(eager=False)
+    carried = stale_mv.join(
+        F.broadcast(affected), ["o_orderpriority", "m"], "left_anti"
+    )
+    recomputed = (
+        updated.join(F.broadcast(affected), ["o_orderpriority", "m"], "left_semi")
+        .groupBy("o_orderpriority", "m")
+        .agg(F.count("*").alias("n_orders"), F.sum("price").alias("rev"))
+    )
+    return (
+        carried.unionByName(recomputed)
+        .select(
+            "o_orderpriority",
+            "m",
+            "n_orders",
+            dround(F.col("rev"), 4).alias("revenue"),
+        )
+        .orderBy("o_orderpriority", "m")
+    )
