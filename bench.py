@@ -100,6 +100,7 @@ HEADLINE = [
     "text_repetition_score",
     "multimodal_pair_align",
     "warehouse_incremental_mv",
+    "events_conversion_within_hour",
 ]
 
 

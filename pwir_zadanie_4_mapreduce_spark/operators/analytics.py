@@ -1126,3 +1126,65 @@ def warehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "m")
     )
+
+
+@register(
+    "events_conversion_within_hour",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    converters AS (
+      SELECT DISTINCT c.user_id
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM clicks) AS BIGINT) AS n_clickers,
+           CAST((SELECT COUNT(*) FROM converters) AS BIGINT)           AS n_converted,
+           ROUND((SELECT COUNT(*) FROM converters)::DOUBLE
+                 / (SELECT COUNT(DISTINCT user_id) FROM clicks), 4)    AS conversion_rate
+    """,
+)
+def events_conversion_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion rate: users with a purchase within ONE
+    HOUR of a click — the windowed funnel metric (the lifetime funnel
+    and last-touch attribution cover the unbounded variants). The
+    interval predicate rides the user-key equi join, so this is a hash
+    join with a range residual — never a time cross join.
+
+    100 TB note: identical profile to join_interval_overlap_events —
+    the equi key bounds pair fan-out to each user's own click×purchase
+    pairs, and the semi-join form stops at the first qualifying pair
+    per user."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converters = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_semi",
+        )
+        .select("user_id")
+        .distinct()
+        .agg(F.count("*").alias("n_converted"))
+    )
+    clickers = clicks.agg(F.countDistinct("user_id").alias("n_clickers"))
+    return (
+        clickers.crossJoin(F.broadcast(converters))
+        .select(
+            "n_clickers",
+            "n_converted",
+            dround(
+                F.col("n_converted").cast("double") / F.col("n_clickers"), 4
+            ).alias("conversion_rate"),
+        )
+    )
