@@ -101,6 +101,8 @@ HEADLINE = [
     "multimodal_pair_align",
     "warehouse_incremental_mv",
     "events_conversion_within_hour",
+    "stats_gini_revenue",
+    "events_active_users_rollup",
 ]
 
 

@@ -1166,3 +1166,155 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.max(gap)).alias("ks_d"),
         )
     )
+
+
+@register(
+    "stats_gini_revenue",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS s FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s,
+             ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(s) OVER () AS tot
+      FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(MAX(tot), 4) AS total_revenue,
+           ROUND(SUM((2.0 * i - n - 1) * s) / (MAX(n) * MAX(tot)), 4) AS gini
+    FROM ranked
+    """,
+)
+def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality metric behind whale-customer and data-source-balance
+    analyses — via the rank formula G = Σ(2i−n−1)·sᵢ / (n·Σs) over
+    spend sorted ascending (ties broken by key: deterministic).
+
+    The global rank window runs over the per-customer AGGREGATE
+    (customers ≪ orders; one row each), not raw orders — same bounded-
+    global-window argument as the equi-depth histogram. 100 TB note:
+    past ~10⁹ customers, bucket spend into quantile bins
+    (approx_percentile) and compute Gini from the binned Lorenz curve
+    — same output shape, no total order."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    wall = Window.orderBy("s", "o_custkey")
+    ranked = spend.select(
+        "s",
+        F.row_number().over(wall).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("s").over(Window.partitionBy()).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        _r4(F.max("tot")).alias("total_revenue"),
+        _r4(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("s"))
+            / (F.max("n") * F.max("tot"))
+        ).alias("gini"),
+    )
+
+
+@register(
+    "quality_lang_entropy_by_source",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, SUM(n) AS t FROM c GROUP BY source)
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(-SUM((c.n::DOUBLE / tot.t) * ln(c.n::DOUBLE / tot.t)), 4)
+               AS lang_entropy_nats
+    FROM c JOIN tot USING (source)
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def quality_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix — the curation
+    dashboard's mono-vs-mixed-source signal (entropy 0 = single
+    language; high entropy sources need per-language routing before
+    language-specific filters). Sibling of the KL drift metric with
+    the same cells-then-broadcast-margins plan.
+
+    100 TB note: one (source, lang) aggregation; entropy arithmetic
+    runs on the sources×langs table."""
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    c = c.localCheckpoint(eager=False)
+    tot = c.groupBy("source").agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    return (
+        c.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_langs"),
+            _r4(-F.sum(p * F.log(p))).alias("lang_entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_active_users_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP)   AS d,
+             CAST(date_trunc('week', ts) AS TIMESTAMP)  AS w,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS m
+      FROM events
+    )
+    SELECT 'day' AS grain, d AS bucket_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM base GROUP BY d
+    UNION ALL
+    SELECT 'week', w, CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM base GROUP BY w
+    UNION ALL
+    SELECT 'month', m, CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM base GROUP BY m
+    ORDER BY grain, bucket_start
+    """,
+)
+def events_active_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU in ONE scan: distinct active users at day, week
+    and month grains via GROUPING SETS — the product-metrics ladder.
+    Distinct counts do NOT re-aggregate across grains (a month's
+    actives ≠ sum of its days'), which is exactly why the Expand-based
+    plan matters: each grain gets its own exact distinct from one
+    input pass.
+
+    100 TB note: Expand ×3 on (user, grain keys) then distinct-agg —
+    shuffle is 3× (user, bucket) pairs, versus 3 full scans for
+    separate queries; the sketch alternative (hll per grain) drops the
+    3× at the cost of exactness (agg_hll_sketch_users demonstrates
+    it)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("week", F.col("ts")).alias("w"),
+        F.date_trunc("month", F.col("ts")).alias("m"),
+    )
+    g = ev.groupingSets(
+        [["d"], ["w"], ["m"]], "d", "w", "m"
+    ).agg(F.countDistinct("user_id").alias("active_users"))
+    grain = (
+        F.when(F.col("d").isNotNull(), "day")
+        .when(F.col("w").isNotNull(), "week")
+        .otherwise("month")
+    )
+    return (
+        g.select(
+            grain.alias("grain"),
+            F.coalesce("d", "w", "m").alias("bucket_start"),
+            "active_users",
+        )
+        .orderBy("grain", "bucket_start")
+    )
