@@ -103,6 +103,9 @@ HEADLINE = [
     "events_conversion_within_hour",
     "stats_gini_revenue",
     "events_active_users_rollup",
+    "quality_fk_orphan_audit",
+    "text_zipf_fit",
+    "events_heatmap_hour_dow",
 ]
 
 

@@ -1318,3 +1318,135 @@ def events_active_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grain", "bucket_start")
     )
+
+
+@register(
+    "quality_fk_orphan_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+               AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    ORDER BY fk
+    """,
+)
+def quality_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned child rows per declared
+    foreign key (lineitem→orders, orders→customer) — the constraint
+    check engines without enforced FKs (every lakehouse) must run as a
+    query. Anti-joins count children whose parent key is absent.
+
+    100 TB note: each FK costs one anti-join; the parent side ships
+    only its key column, and a bloom-shaped pre-filter (the
+    sketch_bloom_membership machinery) prunes the probe before the
+    shuffle when parents are huge."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def audit(child: DataFrame, parent: DataFrame, ckey: str, pkey: str, label: str) -> DataFrame:
+        n_child = child.agg(F.count("*").alias("n_child_rows"))
+        orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        return (
+            n_child.crossJoin(F.broadcast(orphans))
+            .select(F.lit(label).alias("fk"), "n_child_rows", "n_orphans")
+        )
+
+    return (
+        audit(li, orders, "l_orderkey", "o_orderkey", "lineitem.l_orderkey -> orders")
+        .unionByName(
+            audit(orders, cust, "o_custkey", "c_custkey", "orders.o_custkey -> customer")
+        )
+        .orderBy("fk")
+    )
+
+
+ZIPF_TOP = 500
+
+
+@register(
+    "text_zipf_fit",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+      FROM counts QUALIFY r <= {ZIPF_TOP}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND(regr_slope(ln(c::DOUBLE), ln(r::DOUBLE)), 4) AS zipf_slope,
+           ROUND(regr_r2(ln(c::DOUBLE), ln(r::DOUBLE)), 4)    AS fit_r2
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus frequency curve: OLS slope of
+    log-frequency on log-rank over the top-{ZIPF_TOP} tokens (natural
+    text ≈ −1; strong deviation flags synthetic or degenerate corpora
+    — a distribution-level quality gate beside the per-doc filters).
+
+    Token counts are one aggregation; ranking and the regression run
+    on the top-K table (TakeOrdered, vocab-bounded). Composes the
+    vocab-coverage counts with the REGR_* machinery."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    ranked = (
+        counts.orderBy(F.desc("c"), "w")
+        .limit(ZIPF_TOP)
+        .withColumn("r", F.row_number().over(Window.orderBy(F.desc("c"), "w")))
+    )
+    lnc, lnr = F.log(F.col("c").cast("double")), F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_ranks"),
+        _r4(F.regr_slope(lnc, lnr)).alias("zipf_slope"),
+        _r4(F.regr_r2(lnc, lnr)).alias("fit_r2"),
+    )
+
+
+@register(
+    "events_heatmap_hour_dow",
+    oracle="""
+    SELECT CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7
+               AS INTEGER) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY dow, hour
+    """,
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour × day-of-week activity heatmap — the seasonality dashboard
+    behind capacity planning and anomaly baselines. Day-of-week is
+    computed as (epoch_days + 4) % 7 (1970-01-01 was a Thursday;
+    0 = Sunday) — ENGINE-NEUTRAL arithmetic, because dayofweek()
+    conventions differ between engines (Spark 1=Sunday, DuckDB
+    0=Sunday, ISO variants 1=Monday).
+
+    One aggregation to a 7×24-bounded table; at 100 TB the heatmap is
+    the canonical always-on rollup to maintain incrementally
+    (warehouse_incremental_mv's refresh applies directly)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    dow = (
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 4) % 7
+    ).cast("int")
+    return (
+        ev.groupBy(dow.alias("dow"), F.hour("ts").alias("hour"))
+        .agg(F.count("*").alias("n_events"), dround(F.sum("value"), 4).alias("total_value"))
+        .orderBy("dow", "hour")
+    )
