@@ -106,6 +106,8 @@ HEADLINE = [
     "quality_fk_orphan_audit",
     "text_zipf_fit",
     "events_heatmap_hour_dow",
+    "timeseries_seasonal_residuals",
+    "events_bounce_rate",
 ]
 
 

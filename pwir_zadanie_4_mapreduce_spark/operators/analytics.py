@@ -1188,3 +1188,123 @@ def events_conversion_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("conversion_rate"),
         )
     )
+
+
+@register(
+    "timeseries_seasonal_residuals",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id, value,
+             CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7
+                 AS INTEGER) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour
+      FROM events
+    ),
+    baseline AS (
+      SELECT dow, hour, AVG(value) AS mu, stddev_samp(value) AS sigma
+      FROM keyed GROUP BY dow, hour
+    )
+    SELECT k.event_id,
+           ROUND(k.value, 4) AS value,
+           ROUND((k.value - b.mu) / b.sigma, 4) AS seasonal_z
+    FROM keyed k JOIN baseline b USING (dow, hour)
+    WHERE b.sigma > 0 AND abs((k.value - b.mu) / b.sigma) > 3.5
+    ORDER BY k.event_id
+    """,
+)
+def timeseries_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each event scored against
+    the (day-of-week, hour) baseline — 'high for this metric' and
+    'high for 3 AM Sunday' are different questions, which is why this
+    detector and the trailing-window z-score
+    (timeseries_anomaly_zscore) run side by side in practice.
+
+    The baseline is the 7×24 heatmap (one aggregation, broadcast
+    back); scoring is a map-side join — no window at all, so unlike
+    the trailing detector this one is embarrassingly parallel. At
+    100 TB the baseline comes from the incrementally-maintained
+    heatmap rollup (warehouse_incremental_mv pattern)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    dow = (
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 4) % 7
+    ).cast("int")
+    keyed = ev.select(
+        "event_id", "value", dow.alias("dow"), F.hour("ts").alias("hour")
+    )
+    keyed = keyed.localCheckpoint(eager=False)  # baseline + scoring reuse it
+    baseline = keyed.groupBy("dow", "hour").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        keyed.join(F.broadcast(baseline), ["dow", "hour"])
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 3.5))
+        .select(
+            "event_id",
+            dround(F.col("value"), 4).alias("value"),
+            dround(z, 4).alias("seasonal_z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_bounce_rate",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                         - epoch_ms(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+                         > 1800000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id,
+               SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps),
+    per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (n_events = 1) AS BIGINT) AS n_bounces,
+           ROUND(COUNT(*) FILTER (n_events = 1)::DOUBLE / COUNT(*), 4) AS bounce_rate
+    FROM per_session
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate: single-event sessions over total sessions, built on
+    the SAME 30-minute-gap sessionization as events_sessionization —
+    the canonical engagement KPI, demonstrating that session ids
+    compose into downstream aggregates.
+
+    Plan: gap flag (lag window) → running-sum session ids → per-session
+    counts → one global conditional aggregate; everything partitions
+    by user until the final three-number rollup."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(worder)
+    is_new = (
+        prev_ts.isNull()
+        | ((F.unix_millis("ts") - F.unix_millis(prev_ts)) > 1_800_000)
+    ).cast("int")
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sessions = ev.select(
+        "user_id", F.sum(is_new).over(wrun).alias("session_id")
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        dround(
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double") / F.count("*"),
+            4,
+        ).alias("bounce_rate"),
+    )
