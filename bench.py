@@ -108,6 +108,9 @@ HEADLINE = [
     "events_heatmap_hour_dow",
     "timeseries_seasonal_residuals",
     "events_bounce_rate",
+    "agg_skew_kurtosis_moments",
+    "dedup_exact_normalized",
+    "multimodal_dataset_manifest",
 ]
 
 

@@ -902,3 +902,44 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.filter(cont >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", dround(cont, 4).alias("containment"))
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext
+      FROM documents
+    )
+    SELECT MIN(doc_id) AS doc_id,
+           md5(ntext) AS norm_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM norm
+    GROUP BY ntext
+    HAVING COUNT(*) > 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: casefold + whitespace-collapse BEFORE
+    hashing, so trivially-reformatted copies collapse (the first rung
+    between byte-exact dedup and the shingle families — catches the
+    'same text, different wrapping' duplicates crawler output is full
+    of). Survivor = min doc_id; only actual duplicate groups emitted.
+
+    Same hash-groupBy plan as dedup_exact; at scale group on the
+    16-byte digest of the NORMALIZED text so neither raw nor
+    normalized strings shuffle. The normalization is the policy knob —
+    production pipelines add punctuation stripping and unicode
+    NFKC here, same plan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ntext = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select("doc_id", ntext.alias("ntext"))
+        .groupBy("ntext")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("doc_id", F.md5("ntext").alias("norm_md5"), "n_copies")
+        .orderBy("doc_id")
+    )

@@ -280,3 +280,66 @@ def multimodal_pair_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "multimodal_dataset_manifest",
+    oracle="""
+    WITH splits AS (
+      SELECT doc_id, source, lang, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'valid'
+                  ELSE 'train' END AS split
+      FROM documents
+    ),
+    paired AS (
+      SELECT s.*, CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS has_vec
+      FROM splits s LEFT JOIN embeddings e ON s.doc_id = e.vec_id
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(has_vec) AS BIGINT) AS n_with_embedding
+    FROM paired
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def multimodal_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest: per (source, split) — docs, bytes,
+    language spread, and embedding coverage — composing the hash-split
+    assignment (sample_split_documents), the modality pairing
+    (multimodal_pair_align) and size accounting into the single table
+    a training run's datasheet starts from.
+
+    One left join + one aggregation; every input is a pure projection.
+    100 TB note: this is the artifact worth MATERIALIZING per corpus
+    snapshot — every mix decision (pipeline_training_mix rates, split
+    budgets) reads the manifest, not the corpus."""
+    from pwir_zadanie_4_mapreduce_spark.operators.sampling import (
+        TEST_UPPER,
+        VALID_UPPER,
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < TEST_UPPER, "test").when(b < VALID_UPPER, "valid").otherwise("train")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        docs.withColumn("split", split)
+        .join(e, docs["doc_id"] == e["vec_id"], "left")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.count("vec_id").alias("n_with_embedding"),
+        )
+        .orderBy("source", "split")
+    )

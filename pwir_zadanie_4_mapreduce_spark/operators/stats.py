@@ -1450,3 +1450,65 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dround(F.sum("value"), 4).alias("total_value"))
         .orderBy("dow", "hour")
     )
+
+
+@register(
+    "agg_skew_kurtosis_moments",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(value) AS s1,
+             SUM(value * value) AS s2,
+             SUM(value * value * value) AS s3,
+             SUM(value * value * value * value) AS s4
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+                 / pow(s2 / n - pow(s1 / n, 2), 1.5), 4) AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4))
+                 / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 4) AS excess_kurtosis
+    FROM m ORDER BY event_type
+    """,
+)
+def agg_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event type, computed
+    from RAW power sums (Σx..Σx⁴) with the same central-moment algebra
+    spelled out on both sides — built-in skewness()/kurtosis() differ
+    between engines (population vs sample-corrected estimators), so
+    the portable spelling is the moment arithmetic itself.
+
+    The power sums are one partial+final aggregation (the
+    agg_partial_state_merge state vector extended to 4th order — still
+    mergeable, which is what matters at 100 TB: distribution-shape
+    monitoring from the same nightly partials as mean/variance).
+    Numerical note: raw-moment cancellation loses digits when
+    |mean| ≫ stddev; these metrics are O(100)-scaled, well inside
+    double precision at the 4-decimal oracle tolerance."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = F.col("s3") / F.col("n") - 3 * mean * (F.col("s2") / F.col("n")) + 2 * F.pow(mean, 3)
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mean * (F.col("s3") / F.col("n"))
+        + 6 * F.pow(mean, 2) * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(mean, 4)
+    )
+    return m.select(
+        "event_type",
+        "n",
+        _r4(m3 / F.pow(m2, 1.5)).alias("skewness"),
+        _r4(m4 / F.pow(m2, 2) - 3).alias("excess_kurtosis"),
+    ).orderBy("event_type")
