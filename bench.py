@@ -111,6 +111,8 @@ HEADLINE = [
     "agg_skew_kurtosis_moments",
     "dedup_exact_normalized",
     "multimodal_dataset_manifest",
+    "events_cohort_ltv_curve",
+    "sim_knn_confusion",
 ]
 
 

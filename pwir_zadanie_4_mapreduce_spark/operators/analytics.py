@@ -1308,3 +1308,76 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "events_cohort_ltv_curve",
+    oracle="""
+    WITH user_weeks AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events),
+    cohorts AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM user_weeks GROUP BY user_id),
+    weekly_rev AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+               SUM(value) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, wk),
+    curve AS (
+        SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+               CAST(datediff('day', c.cohort_week, r.wk) / 7 AS INTEGER) AS week_offset,
+               SUM(r.rev) AS rev
+        FROM weekly_rev r JOIN cohorts c USING (user_id)
+        WHERE datediff('day', c.cohort_week, r.wk) / 7 <= 8
+        GROUP BY 1, 2)
+    SELECT cohort_week, week_offset,
+           ROUND(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cum_revenue
+    FROM curve ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    signup cohort across week offsets — the LTV payback chart, built
+    on the SAME cohort assignment as events_retention_cohorts (at
+    scale the materialized user→cohort dimension serves both).
+
+    Weekly revenue and cohort assignment are two aggregations on the
+    user_id shuffle key; the running-sum window runs over the
+    cohort×offset curve table (≤ cohorts×9 rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    user_weeks = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    weekly_rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    offset = (F.datediff("wk", "cohort_week") / 7).cast("int")
+    curve = (
+        weekly_rev.join(cohorts, "user_id")
+        .select(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            offset.alias("week_offset"),
+            "rev",
+        )
+        .filter(F.col("week_offset") <= 8)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        curve.select(
+            "cohort_week",
+            "week_offset",
+            dround(F.sum("rev").over(wcum), 4).alias("cum_revenue"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -574,3 +574,81 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", dround("est", 4).alias("est_dist"))
     )
+
+
+CONF_QUERY_BATCH = 64
+
+
+@register(
+    "sim_knn_confusion",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv, nrm AS qn
+          FROM e WHERE vec_id < {CONF_QUERY_BATCH}),
+    nbrs AS (
+        SELECT q.query_id, q.true_label, e.label
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+                     / (e.nrm * q.qn) DESC, e.vec_id) <= {TOP_K}),
+    votes AS (
+        SELECT query_id, true_label, label AS predicted_label, COUNT(*) AS n_votes
+        FROM nbrs GROUP BY query_id, true_label, label),
+    preds AS (
+        SELECT query_id, true_label, predicted_label
+        FROM votes
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, predicted_label) = 1)
+    SELECT true_label, predicted_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM preds GROUP BY true_label, predicted_label
+    ORDER BY true_label, predicted_label
+    """,
+)
+def sim_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-classifier evaluation: the confusion matrix of k-NN
+    majority-vote predictions over a {CONF_QUERY_BATCH}-query batch —
+    the accuracy report that turns sim_knn_label_vote from a
+    prediction op into an evaluated model. Same batched-top-k plan
+    (one corpus scan answers all queries); everything after the scored
+    scan is queries×k rows.
+
+    100 TB note: evaluation batches are thousands of held-out points —
+    still one corpus scan; the confusion matrix is labels²-bounded."""
+    from pyspark.sql.window import Window
+
+    e = _prepped(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < CONF_QUERY_BATCH).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = _cosine(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qn"))
+    wtop = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    nbrs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "true_label", "label", cos.alias("cos"), "vec_id")
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= TOP_K)
+    )
+    wvote = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.col("predicted_label")
+    )
+    preds = (
+        nbrs.groupBy("query_id", "true_label", F.col("label").alias("predicted_label"))
+        .agg(F.count("*").alias("n_votes"))
+        .withColumn("vr", F.row_number().over(wvote))
+        .filter(F.col("vr") == 1)
+    )
+    return (
+        preds.groupBy("true_label", "predicted_label")
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_label", "predicted_label")
+    )

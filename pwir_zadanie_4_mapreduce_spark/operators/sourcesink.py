@@ -150,3 +150,47 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (o_orderkey % 2 = 0) AS BIGINT) AS n_missing_priority,
+           ROUND(SUM(o_totalprice), 4) AS sum_price
+    FROM orders
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with
+    DIFFERENT schemas — v1 (even keys) lacks the priority column, v2
+    (odd keys) carries it — read back as ONE table via mergeSchema;
+    v1's missing column surfaces as NULLs. This is the
+    columns-added-over-time reality of any long-lived lake table, and
+    explicit mergeSchema is the contract (schema-on-read, no rewrite
+    of old files).
+
+    The audit counts rows whose priority is absent — exactly the v1
+    rows, which the oracle states as the key-parity predicate over the
+    original table. 100 TB note: mergeSchema unions footer schemas at
+    planning time; old files are never touched."""
+    path = os.path.join(_SCRATCH, "orders_evolving")
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=v2"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(path, "batch=v1"), os.path.join(path, "batch=v2")
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias(
+            "n_missing_priority"
+        ),
+        dround(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
