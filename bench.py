@@ -113,6 +113,8 @@ HEADLINE = [
     "multimodal_dataset_manifest",
     "events_cohort_ltv_curve",
     "sim_knn_confusion",
+    "events_user_activity_histogram",
+    "sample_time_split",
 ]
 
 

@@ -943,3 +943,40 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("ntext").alias("norm_md5"), "n_copies")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    # oracle patched below from the CC oracle (recursive CTE) — same
+    # mechanism as dedup_cluster_components
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many clusters of 2, 3,
+    … documents the near-dup graph contains — the dedup run's summary
+    report (the number every pipeline dashboard shows: '12% of the
+    corpus is in duplicate clusters, largest cluster 40 docs').
+    Composes connected components with two tiny aggregations;
+    singleton 'clusters' are excluded (they're just unique docs).
+
+    100 TB note: both aggregations run over the |V|-sized label table,
+    not the corpus; the histogram itself is max-cluster-size rows."""
+    labels = dedup_cluster_components(spark, sf_dir)
+    sizes = labels.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.filter(F.col("cluster_size") > 1)
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+_ORACLES["dedup_cluster_size_histogram"] = f"""
+    WITH cc AS ({_ORACLES["dedup_cluster_components"]}),
+    sizes AS (
+      SELECT canonical_id, COUNT(*) AS cluster_size FROM cc GROUP BY canonical_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes WHERE cluster_size > 1
+    GROUP BY cluster_size ORDER BY cluster_size
+"""

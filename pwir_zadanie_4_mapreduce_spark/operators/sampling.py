@@ -318,3 +318,45 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+TIME_SPLIT_CUTOFF = "2001-01-01"
+
+
+@register(
+    "sample_time_split",
+    oracle=f"""
+    SELECT CASE WHEN o_orderdate < TIMESTAMP '{TIME_SPLIT_CUTOFF}'
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_date,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_date,
+           ROUND(SUM(o_totalprice), 4) AS sum_price
+    FROM orders GROUP BY split ORDER BY split
+    """,
+)
+def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout split: everything before the cutoff trains,
+    everything after tests — the leakage-safe evaluation design for
+    any time-dependent model (random splits let the model peek at the
+    future; the hash splits are for exchangeable rows only). The audit
+    reports per-split counts and date ranges, making the boundary
+    inspectable.
+
+    Pure scan predicate — and unlike the md5 splits, this one IS
+    served by parquet min/max row-group statistics and date
+    partitioning, so each side prunes at the source at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    split = F.when(
+        F.col("o_orderdate") < F.lit(TIME_SPLIT_CUTOFF).cast("timestamp"), "train"
+    ).otherwise("test")
+    return (
+        orders.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+            dround(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .orderBy("split")
+    )

@@ -1512,3 +1512,38 @@ def agg_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(m3 / F.pow(m2, 1.5)).alias("skewness"),
         _r4(m4 / F.pow(m2, 2) - 3).alias("excess_kurtosis"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_user_activity_histogram",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT CAST(FLOOR(ln(n::DOUBLE) / ln(2)) AS INTEGER) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM per_user GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+)
+def events_user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned events-per-user distribution — the power-law /
+    hot-key diagnostic run BEFORE any user-keyed operation (the bucket
+    where n_events concentrates tells you whether sessionization,
+    as-of joins and per-user windows need a skew strategy; sibling of
+    graph_degree_histogram for the user axis).
+
+    Two aggregations, the second over the |users| table. The log bin
+    is floor(ln n / ln 2) — plain arithmetic, no engine-specific
+    log2()."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    bucket = F.floor(F.log(F.col("n").cast("double")) / F.log(F.lit(2.0))).cast("int")
+    return (
+        per_user.groupBy(bucket.alias("log2_bucket"))
+        .agg(F.count("*").alias("n_users"), F.sum("n").alias("n_events"))
+        .orderBy("log2_bucket")
+    )
