@@ -115,6 +115,8 @@ HEADLINE = [
     "sim_knn_confusion",
     "events_user_activity_histogram",
     "sample_time_split",
+    "events_session_duration_stats",
+    "text_charset_stats",
 ]
 
 

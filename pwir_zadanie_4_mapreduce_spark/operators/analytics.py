@@ -1381,3 +1381,75 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_session_duration_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                         - epoch_ms(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+                         > 1800000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps),
+    durations AS (
+        SELECT user_id, session_id,
+               epoch_ms(CAST(MAX(ts) AS TIMESTAMP))
+                   - epoch_ms(CAST(MIN(ts) AS TIMESTAMP)) AS dur_ms,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(dur_ms) / 1000.0, 4) AS mean_duration_s,
+           ROUND(quantile_cont(dur_ms, 0.5) / 1000.0, 4) AS p50_duration_s,
+           ROUND(quantile_cont(dur_ms, 0.9) / 1000.0, 4) AS p90_duration_s,
+           ROUND(AVG(n_events), 4) AS mean_events_per_session
+    FROM durations WHERE n_events > 1
+    """,
+)
+def events_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution (mean / p50 / p90 seconds, plus
+    events-per-session) over the shared 30-minute sessionization,
+    single-event sessions excluded (their duration is 0 by
+    construction and belongs to the bounce-rate metric) — the
+    engagement-depth KPI beside events_bounce_rate.
+
+    Per-session rollup shuffles one row per session; the percentile
+    runs over the sessions table (exact here; approx_percentile is
+    the documented unbounded-cardinality path)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(worder)
+    is_new = (
+        prev_ts.isNull()
+        | ((F.unix_millis("ts") - F.unix_millis(prev_ts)) > 1_800_000)
+    ).cast("int")
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sessions = ev.select(
+        "user_id", "ts", F.sum(is_new).over(wrun).alias("session_id")
+    )
+    durations = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("dur_ms"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_events") > 1)
+    )
+    return durations.agg(
+        F.count("*").alias("n_sessions"),
+        dround(F.avg("dur_ms") / 1000.0, 4).alias("mean_duration_s"),
+        dround(F.percentile("dur_ms", 0.5) / 1000.0, 4).alias("p50_duration_s"),
+        dround(F.percentile("dur_ms", 0.9) / 1000.0, 4).alias("p90_duration_s"),
+        dround(F.avg("n_events"), 4).alias("mean_events_per_session"),
+    )

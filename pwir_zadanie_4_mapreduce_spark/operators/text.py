@@ -711,3 +711,46 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dup_bigram_frac") > 0.2)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_charset_stats",
+    oracle=r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                     / length(text)), 4) AS alpha_ratio,
+           ROUND(AVG(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                     / length(text)), 4) AS digit_ratio,
+           ROUND(AVG(length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
+                     / length(text)), 4) AS space_ratio
+    FROM documents WHERE length(text) > 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile per language: mean alpha / digit /
+    whitespace ratios — the ingest-time charset screen that catches
+    base64 blobs, number dumps and markup posing as text before any
+    tokenizer runs (the rung BELOW token-level quality scoring).
+
+    Pure regexp projections inside the scan, one aggregation; the
+    same character classes (`[^a-zA-Z]` etc.) mean identical counts in
+    Java regex and RE2. 100 TB: linear scan, no shuffle beyond the
+    langs-sized rollup."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+
+    def ratio(keep_pattern: str) -> F.Column:
+        kept = F.length(F.regexp_replace("text", keep_pattern, ""))
+        return kept.cast("double") / F.length("text")
+
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dround(F.avg(ratio(r"[^a-zA-Z]")), 4).alias("alpha_ratio"),
+            dround(F.avg(ratio(r"[^0-9]")), 4).alias("digit_ratio"),
+            dround(F.avg(ratio(r"[^ ]")), 4).alias("space_ratio"),
+        )
+        .orderBy("lang")
+    )
