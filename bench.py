@@ -117,6 +117,9 @@ HEADLINE = [
     "sample_time_split",
     "events_session_duration_stats",
     "text_charset_stats",
+    "stats_pareto_revenue_share",
+    "quality_iqr_outliers",
+    "orders_interpurchase_histogram",
 ]
 
 

@@ -1547,3 +1547,160 @@ def events_user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").alias("n_users"), F.sum("n").alias("n_events"))
         .orderBy("log2_bucket")
     )
+
+
+@register(
+    "stats_pareto_revenue_share",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS s FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s,
+             ROW_NUMBER() OVER (ORDER BY s DESC, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(s) OVER () AS tot,
+             SUM(s) OVER (ORDER BY s DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM spend
+    )
+    SELECT pct.p AS top_pct,
+           CAST(MAX(CAST(FLOOR(pct.p * n / 100.0) AS BIGINT)) AS BIGINT) AS n_top_customers,
+           ROUND(MAX(CASE WHEN i = GREATEST(FLOOR(pct.p * n / 100.0), 1) THEN cum END)
+                 / MAX(tot), 4) AS revenue_share
+    FROM ranked CROSS JOIN (VALUES (1), (5), (10), (20)) pct(p)
+    WHERE FLOOR(pct.p * n / 100.0) >= 1
+    GROUP BY pct.p ORDER BY pct.p
+    """,
+)
+def stats_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration table: the revenue share captured by the
+    top 1 / 5 / 10 / 20 % of customers — the '80/20' business staple
+    and the numeric companion to stats_gini_revenue (same ranked-spend
+    table serves both).
+
+    The rank/cumsum window runs over per-customer AGGREGATES (bounded
+    global window, as in Gini); the percentile thresholds are a
+    4-row literal fan-out. 100 TB note: same binned-Lorenz scale path
+    as Gini — quantile bins replace the exact ranks."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    wdesc = Window.orderBy(F.desc("s"), "o_custkey")
+    ranked = spend.select(
+        "s",
+        F.row_number().over(wdesc).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("s").over(Window.partitionBy()).alias("tot"),
+        F.sum("s").over(
+            wdesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    pcts = F.explode(F.array(*[F.lit(p) for p in (1, 5, 10, 20)])).alias("top_pct")
+    k = F.floor(F.col("top_pct") * F.col("n") / 100.0)
+    return (
+        ranked.select(pcts, "i", "n", "tot", "cum")
+        .filter(k >= 1)
+        .groupBy("top_pct")
+        .agg(
+            F.max(k.cast("long")).alias("n_top_customers"),
+            _r4(
+                F.max(F.when(F.col("i") == F.greatest(k, F.lit(1)), F.col("cum")))
+                / F.max("tot")
+            ).alias("revenue_share"),
+        )
+        .orderBy("top_pct")
+    )
+
+
+@register(
+    "quality_iqr_outliers",
+    oracle="""
+    WITH fences AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MAX(f.q3 - f.q1), 4) AS iqr,
+           CAST(COUNT(*) FILTER (
+               l.l_extendedprice < f.q1 - 1.5 * (f.q3 - f.q1)
+               OR l.l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1)) AS BIGINT)
+               AS n_outliers
+    FROM lineitem l JOIN fences f USING (l_returnflag)
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def quality_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per group: rows outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the distribution-free outlier
+    screen beside the z-score detectors (robust to the heavy tails
+    that break mean/σ fences), the box-plot's whisker rule as a
+    data-quality gate.
+
+    Two passes by construction (fences need the quantiles before rows
+    can be judged): one exact-percentile agg (groups-bounded) broadcast
+    back onto the scan. At 100 TB swap approx_percentile into the
+    fences pass — same plan, fixed memory."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    fences = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("q1"),
+        F.percentile("l_extendedprice", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _r4(F.max(iqr)).alias("iqr"),
+            F.count(F.when(is_out, 1)).alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "orders_interpurchase_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             datediff('day',
+                      LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT CAST(gap_days // 30 AS INTEGER) AS gap_month_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY gap_month_bucket ORDER BY gap_month_bucket
+    """,
+)
+def orders_interpurchase_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: days between a customer's
+    consecutive orders, binned by 30-day months — the repurchase-cycle
+    curve that churn models and reorder reminders calibrate against
+    (the order-level sibling of the event-stream gap analyses).
+
+    One lag window per customer + one histogram aggregation; the
+    histogram is months-bounded."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(F.expr("gap_days div 30").cast("int").alias("gap_month_bucket"))
+        .agg(F.count("*").alias("n_gaps"))
+        .orderBy("gap_month_bucket")
+    )
