@@ -120,6 +120,9 @@ HEADLINE = [
     "stats_pareto_revenue_share",
     "quality_iqr_outliers",
     "orders_interpurchase_histogram",
+    "quality_benford_first_digit",
+    "quality_eventmix_drift",
+    "text_collocation_pmi",
 ]
 
 

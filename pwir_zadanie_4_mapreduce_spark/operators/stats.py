@@ -1704,3 +1704,119 @@ def orders_interpurchase_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").alias("n_gaps"))
         .orderBy("gap_month_bucket")
     )
+
+
+@register(
+    "quality_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      -- explicit FLOOR: DuckDB's double->BIGINT cast rounds, Spark's
+      -- truncates; floor() agrees everywhere
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM digits)
+    SELECT d AS first_digit,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           ROUND(COUNT(*)::DOUBLE / MAX(tot.n), 4) AS observed_p,
+           ROUND(ln(1.0 + 1.0 / d) / ln(10.0), 4) AS benford_p
+    FROM digits CROSS JOIN tot
+    GROUP BY d ORDER BY d
+    """,
+)
+def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen: the first-digit distribution of order
+    totals against log10(1 + 1/d) — the forensic data-quality check
+    for fabricated or truncated numeric columns (natural multi-scale
+    amounts follow Benford; uniform or spiked first digits flag
+    synthetic data, unit mix-ups, or capped values).
+
+    First digit extracted by integer-cast-then-string — identical
+    arithmetic both engines, no float formatting involved. One
+    aggregation to a 9-row table. (The fixture's prices are uniform
+    by construction, so the OBSERVED column demonstrates exactly the
+    deviation this screen exists to flag.)"""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    digits = orders.select(d.alias("d"))
+    tot = digits.agg(F.count("*").alias("n"))
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("d").alias("first_digit"))
+        .agg(
+            F.count("*").alias("n_values"),
+            _r4(F.count("*").cast("double") / F.max("n")).alias("observed_p"),
+            _r4(
+                F.log(1.0 + 1.0 / F.col("first_digit")) / F.log(F.lit(10.0))
+            ).alias("benford_p"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@register(
+    "quality_eventmix_drift",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+             event_type, COUNT(*) AS c
+      FROM events GROUP BY wk, event_type
+    ),
+    wk_tot AS (SELECT wk, SUM(c) AS wt FROM weekly GROUP BY wk),
+    global_mix AS (
+      SELECT event_type, SUM(c)::DOUBLE / (SELECT SUM(c) FROM weekly) AS gp
+      FROM weekly GROUP BY event_type
+    )
+    SELECT w.wk,
+           CAST(SUM(w.c) AS BIGINT) AS n_events,
+           ROUND(SUM(abs(w.c::DOUBLE / t.wt - g.gp)), 4) AS l1_drift
+    FROM weekly w
+    JOIN wk_tot t USING (wk)
+    JOIN global_mix g USING (event_type)
+    GROUP BY w.wk ORDER BY w.wk
+    """,
+)
+def quality_eventmix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type mix drift per week: L1 distance between each week's
+    type distribution and the corpus-wide mix — the schema-free
+    ingest-drift monitor (a collector outage or a new client version
+    shows up as a drift spike long before row counts move).
+
+    One (week, type) aggregation; weekly totals and the global mix
+    RE-AGGREGATE that table and broadcast back — the
+    cells-and-margins plan a third time (MI, KL, and this). Note the
+    L1 sums over types PRESENT in the week; a type absent from a week
+    contributes its global share — absent-type handling is identical
+    on both sides because both sum over the same joined rows."""
+    weekly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("week", F.col("ts")).alias("wk"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    weekly = weekly.localCheckpoint(eager=False)
+    wk_tot = weekly.groupBy("wk").agg(F.sum("c").alias("wt"))
+    corpus_n = weekly.agg(F.sum("c").alias("cn"))
+    global_mix = (
+        weekly.groupBy("event_type")
+        .agg(F.sum("c").alias("tc"))
+        .crossJoin(F.broadcast(corpus_n))
+        .select("event_type", (F.col("tc").cast("double") / F.col("cn")).alias("gp"))
+    )
+    return (
+        weekly.join(F.broadcast(wk_tot), "wk")
+        .join(F.broadcast(global_mix), "event_type")
+        .groupBy("wk")
+        .agg(
+            F.sum("c").alias("n_events"),
+            _r4(
+                F.sum(F.abs(F.col("c").cast("double") / F.col("wt") - F.col("gp")))
+            ).alias("l1_drift"),
+        )
+        .orderBy("wk")
+    )

@@ -754,3 +754,107 @@ def text_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+PMI_TOP_VOCAB = 100
+PMI_MIN_SUPPORT = 20
+PMI_TOP_PAIRS = 20
+
+
+@register(
+    "text_collocation_pmi",
+    oracle=rf"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')))
+                 AS w
+      FROM documents
+    ),
+    topv AS (
+      SELECT w, COUNT(*) AS df FROM dt GROUP BY w
+      ORDER BY df DESC, w LIMIT {PMI_TOP_VOCAB}
+    ),
+    filtered AS (SELECT dt.doc_id, dt.w, topv.df FROM dt JOIN topv USING (w)),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+    pairs AS (
+      SELECT a.w AS w_a, a.df AS df_a, b.w AS w_b, b.df AS df_b,
+             COUNT(*) AS c_ab
+      FROM filtered a JOIN filtered b
+        ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT w_a, w_b, CAST(c_ab AS BIGINT) AS co_docs,
+           ROUND(ln(c_ab::DOUBLE * n.n / (df_a::DOUBLE * df_b)), 4) AS pmi
+    FROM pairs CROSS JOIN n_docs n
+    WHERE c_ab >= {PMI_MIN_SUPPORT}
+    ORDER BY pmi DESC, w_a, w_b
+    LIMIT {PMI_TOP_PAIRS}
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of token pairs
+    over DOCUMENT co-occurrence, restricted to the top-100 vocabulary —
+    the phrase/topic-association primitive (high PMI = tokens that
+    appear together far more than their frequencies predict).
+
+    Plan: the basket pair fan-out (JVM-side C(k,2) lambda, no
+    self-join) over each doc's top-vocab tokens; the vocabulary cap
+    bounds fan-out at C(100,2) per doc regardless of doc length, and
+    df/N ride the pair rows. Same shape as basket_part_pairs with the
+    A-priori prune built in."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+        ).alias("w"),
+    ).distinct()
+    dt = dt.localCheckpoint(eager=False)  # vocab + baskets + N reuse it
+    topv = (
+        dt.groupBy("w").agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "w")
+        .limit(PMI_TOP_VOCAB)
+    )
+    n_docs = dt.agg(F.countDistinct("doc_id").alias("n"))
+    filtered = dt.join(F.broadcast(topv), "w")
+    baskets = filtered.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set(F.struct("w", "df"))).alias("toks")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("toks"),
+            lambda x, i: F.transform(
+                F.slice(F.col("toks"), i + 2, F.size(F.col("toks"))),
+                lambda y: F.struct(
+                    x["w"].alias("w_a"),
+                    x["df"].alias("df_a"),
+                    y["w"].alias("w_b"),
+                    y["df"].alias("df_b"),
+                ),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.w_a").alias("w_a"),
+            F.col("p.df_a").alias("df_a"),
+            F.col("p.w_b").alias("w_b"),
+            F.col("p.df_b").alias("df_b"),
+        )
+        .agg(F.count("*").alias("co_docs"))
+        .filter(F.col("co_docs") >= PMI_MIN_SUPPORT)
+    )
+    pmi = F.log(
+        F.col("co_docs").cast("double") * F.col("n") / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    return (
+        co.crossJoin(F.broadcast(n_docs))
+        .select("w_a", "w_b", "co_docs", dround(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w_a", "w_b")
+        .limit(PMI_TOP_PAIRS)
+    )
