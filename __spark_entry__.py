@@ -37,6 +37,16 @@ def _laplace_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.grid.orderBy("i", "j")
 
 
+def _laplace_query_n4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second grid size through the same solver (N=4: 15 iterations,
+    golden-checked byte-for-byte in tests/test_laplace.py) — exposes
+    the N-parameterization in the registry, mirroring the reference's
+    CLI argument (laplace-seq.c:154)."""
+    get_or_tune(spark)
+    result = laplace.solve(spark, n=4)
+    return result.grid.orderBy("i", "j")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
 
@@ -51,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out = {name: tuned(fn) for name, fn in QUERIES.items()}
     out["laplace_sor_n8"] = _laplace_query
+    out["laplace_sor_n4"] = _laplace_query_n4
     return out
 
 

@@ -1453,3 +1453,70 @@ def events_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         dround(F.percentile("dur_ms", 0.9) / 1000.0, 4).alias("p90_duration_s"),
         dround(F.avg("n_events"), 4).alias("mean_events_per_session"),
     )
+
+
+@register(
+    "events_funnel_three_step",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    step2 AS (
+      SELECT s.user_id, s.t1, MIN(e.ts) AS t2
+      FROM signups s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'click' AND e.ts > s.t1
+      GROUP BY s.user_id, s.t1
+    ),
+    step3 AS (
+      SELECT s2.user_id
+      FROM step2 s2 JOIN events e
+        ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY s2.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM signups) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM step2) AS BIGINT)   AS n_signup_click,
+           CAST((SELECT COUNT(*) FROM step3) AS BIGINT)   AS n_signup_click_purchase
+    """,
+)
+def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel: signup → later click → later
+    purchase, counted per user — the multi-stage generalization of
+    events_funnel_click_purchase. Step semantics are ORDERED (each
+    stage strictly after the previous stage's first occurrence), which
+    is what distinguishes a funnel from set intersection.
+
+    Plan: each stage is one per-user aggregation on the same shuffle
+    key — the exchange is reused across stages, and per-user event
+    lists never materialize (the sequence predicate lives in the join
+    condition, as in the 2-step funnel). Stages ride first-occurrence
+    timestamps, so K-step funnels cost K user-keyed aggs, not K
+    scans of history."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    step2 = (
+        signups.join(clicks, "user_id")
+        .filter(F.col("cts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("cts").alias("t2"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    step3 = (
+        step2.join(purchases, "user_id")
+        .filter(F.col("pts") > F.col("t2"))
+        .select("user_id")
+        .distinct()
+    )
+    c1 = signups.agg(F.count("*").alias("n_signup"))
+    c2 = step2.agg(F.count("*").alias("n_signup_click"))
+    c3 = step3.agg(F.count("*").alias("n_signup_click_purchase"))
+    return c1.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(c3))

@@ -1820,3 +1820,69 @@ def quality_eventmix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+@register(
+    "quality_cardinality_audit",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_custkey,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_priority,
+             CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS d_orderdate
+      FROM orders
+    )
+    SELECT col, n_distinct, n_rows,
+           ROUND(n_distinct::DOUBLE / n_rows, 6) AS distinct_ratio
+    FROM (
+      SELECT 'o_custkey' AS col, d_custkey AS n_distinct, n_rows FROM stats
+      UNION ALL SELECT 'o_orderstatus', d_status, n_rows FROM stats
+      UNION ALL SELECT 'o_orderpriority', d_priority, n_rows FROM stats
+      UNION ALL SELECT 'o_orderdate', d_orderdate, n_rows FROM stats
+    )
+    ORDER BY col
+    """,
+)
+def quality_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column cardinality profile: distinct counts and distinct
+    ratios for key columns in ONE aggregation — the profiling pass
+    that classifies columns as keys (ratio ≈ 1), dimensions (low
+    cardinality) or dates, feeding join-strategy and layout decisions.
+    Sibling of quality_null_audit: rule count grows plan WIDTH, never
+    pass count.
+
+    100 TB note: multiple exact COUNT(DISTINCT)s in one agg expand to
+    one shuffle per distinct column; the production profile swaps in
+    approx_count_distinct (one pass, HLL state) — same query shape,
+    audited error."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("d_custkey"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.countDistinct("o_orderpriority").alias("d_priority"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("d_orderdate"),
+    )
+    cols = [
+        ("o_custkey", "d_custkey"),
+        ("o_orderstatus", "d_status"),
+        ("o_orderpriority", "d_priority"),
+        ("o_orderdate", "d_orderdate"),
+    ]
+    long = None
+    for name, dcol in cols:
+        row = stats.select(
+            F.lit(name).alias("col"),
+            F.col(dcol).alias("n_distinct"),
+            "n_rows",
+        )
+        long = row if long is None else long.unionByName(row)
+    return long.select(
+        "col",
+        "n_distinct",
+        "n_rows",
+        dround(F.col("n_distinct").cast("double") / F.col("n_rows"), 6).alias(
+            "distinct_ratio"
+        ),
+    ).orderBy("col")

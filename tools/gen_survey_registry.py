@@ -41,7 +41,8 @@ def main() -> None:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    names = sorted(n for n in queries if n != "laplace_sor_n8")
+    laplace = sorted(n for n in queries if n.startswith("laplace_sor"))
+    names = sorted(n for n in queries if not n.startswith("laplace_sor"))
 
     fams: dict[str, list[str]] = {}
     for n in names:
@@ -57,9 +58,10 @@ def main() -> None:
 
     n_total = len(queries)
     n_oracled = len(oracles)
+    laplace_list = ", ".join(f"`{n}`" for n in laplace)
     header = (
-        f"{n_total} queries in `__spark_entry__.queries()` ({n_total - 1} below + "
-        "`laplace_sor_n8`,\n"
+        f"{n_total} queries in `__spark_entry__.queries()` ({len(names)} below + "
+        f"{laplace_list},\n"
         "checked against the reference binary's golden output instead of DuckDB);\n"
         f"{n_oracled} carry DuckDB oracles — the rest are marked rows-only "
         "(hash-function-\nspecific or approximate by design, each covered by a "
