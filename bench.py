@@ -123,6 +123,8 @@ HEADLINE = [
     "quality_benford_first_digit",
     "quality_eventmix_drift",
     "text_collocation_pmi",
+    "stats_hhi_market_concentration",
+    "orders_yoy_revenue",
 ]
 
 

@@ -1886,3 +1886,100 @@ def quality_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ratio"
         ),
     ).orderBy("col")
+
+
+@register(
+    "stats_hhi_market_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation, SUM(o.o_totalprice) AS s
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY region, nation
+    ),
+    tot AS (SELECT region, SUM(s) AS t FROM rev GROUP BY region)
+    SELECT rev.region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           ROUND(SUM(pow(rev.s / tot.t, 2)), 4) AS hhi
+    FROM rev JOIN tot USING (region)
+    GROUP BY rev.region ORDER BY rev.region
+    """,
+)
+def stats_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of revenue concentration per region
+    (sum of squared nation shares; 1/n = perfectly even, 1.0 =
+    single-nation monopoly) — the market-structure companion to Gini
+    and Pareto, here exercising the full dim chain
+    (orders→customer→nation→region) before the stats layer.
+
+    Dims broadcast (the q5 join shape); shares and squares run over
+    the regions×nations table. Mergeable: the (region, nation) revenue
+    cells are the partial state."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    rev = rev.localCheckpoint(eager=False)
+    tot = rev.groupBy("region").agg(F.sum("s").alias("t"))
+    return (
+        rev.join(F.broadcast(tot), "region")
+        .groupBy("region")
+        .agg(
+            F.count("*").alias("n_nations"),
+            _r4(F.sum(F.pow(F.col("s") / F.col("t"), 2))).alias("hhi"),
+        )
+        .orderBy("region")
+    )
+
+
+@register(
+    "orders_yoy_revenue",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY m
+    )
+    SELECT m,
+           ROUND(rev, 4) AS revenue,
+           ROUND(rev / LAG(rev, 12) OVER (ORDER BY m) - 1.0, 4) AS yoy_change
+    FROM monthly ORDER BY m
+    """,
+)
+def orders_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year change: lag-12 over the
+    month series — the reporting staple that seasonality makes
+    month-over-month useless for. NULL for the first twelve months by
+    construction (no prior-year base).
+
+    The lag window runs over the MONTH table (bounded by the date
+    span, here ~80 rows), not over orders — the global order is
+    metadata-scale, the same bounded-global-window argument as the
+    compaction planner."""
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("m")
+    return (
+        monthly.select(
+            "m",
+            dround(F.col("rev"), 4).alias("revenue"),
+            dround(F.col("rev") / F.lag("rev", 12).over(w) - 1.0, 4).alias(
+                "yoy_change"
+            ),
+        )
+        .orderBy("m")
+    )
