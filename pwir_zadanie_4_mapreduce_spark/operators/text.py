@@ -798,10 +798,15 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear together far more than their frequencies predict).
 
     Plan: the basket pair fan-out (JVM-side C(k,2) lambda, no
-    self-join) over each doc's top-vocab tokens; the vocabulary cap
-    bounds fan-out at C(100,2) per doc regardless of doc length, and
-    df/N ride the pair rows. Same shape as basket_part_pairs with the
-    A-priori prune built in."""
+    self-join) over each doc's top-vocab tokens — but the fan-out rows
+    are SINGLE PACKED INTEGERS, not wide structs. The top-100 vocab is
+    numbered 0..99 in ascending-word order (so id_a < id_b ⇔ w_a < w_b),
+    each basket is an int array, and a pair is `id_a * 100 + id_b`: the
+    shuffle/aggregate touches one int column for ~10^8 pair instances.
+    Words and df land back on the ≤C(100,2)-row aggregated pair table
+    via two broadcast joins against the 100-row vocab map."""
+    from pyspark.sql import Window
+
     from pwir_zadanie_4_mapreduce_spark.catalog import spread
 
     docs = spread(
@@ -819,41 +824,49 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "w")
         .limit(PMI_TOP_VOCAB)
     )
+    # Number the (bounded, ≤100-row) vocab in ascending-word order; the
+    # single-partition window is over a constant-size table, never the corpus.
+    topv_id = topv.withColumn(
+        "wid", F.row_number().over(Window.orderBy("w")) - F.lit(1)
+    )
     n_docs = dt.agg(F.countDistinct("doc_id").alias("n"))
-    filtered = dt.join(F.broadcast(topv), "w")
+    filtered = dt.join(F.broadcast(topv_id.select("w", "wid")), "w")
     baskets = filtered.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set(F.struct("w", "df"))).alias("toks")
+        F.array_sort(F.collect_set("wid")).alias("toks")
     )
     pairs = F.flatten(
         F.transform(
             F.col("toks"),
             lambda x, i: F.transform(
                 F.slice(F.col("toks"), i + 2, F.size(F.col("toks"))),
-                lambda y: F.struct(
-                    x["w"].alias("w_a"),
-                    x["df"].alias("df_a"),
-                    y["w"].alias("w_b"),
-                    y["df"].alias("df_b"),
-                ),
+                lambda y: x * F.lit(PMI_TOP_VOCAB) + y,
             ),
         )
     )
     co = (
         baskets.select(F.explode(pairs).alias("p"))
-        .groupBy(
-            F.col("p.w_a").alias("w_a"),
-            F.col("p.df_a").alias("df_a"),
-            F.col("p.w_b").alias("w_b"),
-            F.col("p.df_b").alias("df_b"),
-        )
+        .groupBy("p")
         .agg(F.count("*").alias("co_docs"))
         .filter(F.col("co_docs") >= PMI_MIN_SUPPORT)
+        .select(
+            (F.col("p") / PMI_TOP_VOCAB).cast("int").alias("id_a"),
+            (F.col("p") % PMI_TOP_VOCAB).alias("id_b"),
+            "co_docs",
+        )
+    )
+    side_a = topv_id.select(
+        F.col("wid").alias("id_a"), F.col("w").alias("w_a"), F.col("df").alias("df_a")
+    )
+    side_b = topv_id.select(
+        F.col("wid").alias("id_b"), F.col("w").alias("w_b"), F.col("df").alias("df_b")
     )
     pmi = F.log(
         F.col("co_docs").cast("double") * F.col("n") / (F.col("df_a").cast("double") * F.col("df_b"))
     )
     return (
-        co.crossJoin(F.broadcast(n_docs))
+        co.join(F.broadcast(side_a), "id_a")
+        .join(F.broadcast(side_b), "id_b")
+        .crossJoin(F.broadcast(n_docs))
         .select("w_a", "w_b", "co_docs", dround(pmi, 4).alias("pmi"))
         .orderBy(F.desc("pmi"), "w_a", "w_b")
         .limit(PMI_TOP_PAIRS)
