@@ -155,8 +155,15 @@ def main() -> None:
         queries measure the storage pressure of every earlier one
         (observed 10× slowdowns) instead of their own plan."""
         spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+        try:
+            # localCheckpoint blocks are RDD-level, invisible to
+            # catalog.clearCache(); the py4j handle is the only hook.
+            # Guarded: it is a private API with no stability guarantee,
+            # and losing the cleanup must not abort the whole bench.
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:
+            pass
 
     # warm-up: JVM, codegen, parquet footer caches
     materialize(queries["q1_pricing_summary"](spark, sf_dir))
@@ -174,17 +181,21 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
     )
+    print(line)
+    # Also persist to disk: the driver's stdout capture has truncated
+    # this (very long) line before (BENCH_r03.json "parsed": null) —
+    # the file copy is the durable record.
+    with open(os.path.join(REPO_ROOT, "bench_out.json"), "w") as fh:
+        fh.write(line + "\n")
     spark.stop()
 
 

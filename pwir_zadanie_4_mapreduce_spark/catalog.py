@@ -49,14 +49,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as either parquet TIMESTAMP(NANOS) —
         # which Spark 4 refuses to read natively — or TIMESTAMP(MICROS).
-        # Handle both: with nanosAsLong the nanos variant surfaces as
-        # int64, truncated here to µs (the same truncation DuckDB
-        # applies casting ns → TIMESTAMP); the micros variant reads as
-        # a timestamp already and passes through untouched.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Sniff the footer (driver-side, cheap) and only flip the
+        # session-global nanosAsLong conf when the NANOS variant is
+        # actually present; with it the nanos column surfaces as int64,
+        # truncated here to µs (the same truncation DuckDB applies
+        # casting ns → TIMESTAMP).
+        path = table_path(sf_dir, name)
+        if _parquet_ts_unit(path) in ("ns", None):
+            # None = footer unreadable from the driver (e.g. dir-style
+            # dataset); keep the historically-safe conf in that case.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -65,8 +70,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # keeps unix_millis/unix_timestamp-based queries working and
             # matches the type the nanos path has always produced.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            raise ValueError(
+                f"events.ts has unsupported type {ts_type!r}; expected "
+                "parquet TIMESTAMP(NANOS) (bigint via nanosAsLong), "
+                "TIMESTAMP(MICROS), or TIMESTAMP_NTZ"
+            )
         return df
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _parquet_ts_unit(path: str) -> str | None:
+    """Return the parquet `ts` column's timestamp unit ('ns'/'us'/'ms')
+    from the file footer, or None if it cannot be determined."""
+    try:
+        import pyarrow.parquet as pq
+
+        return getattr(pq.read_schema(path).field("ts").type, "unit", None)
+    except Exception:
+        return None
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -77,9 +77,11 @@ def stats_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm_a = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
     va = F.when(arm_a, F.col("value"))
     vb = F.when(~arm_a, F.col("value"))
+    # Arm sizes count ROWS (like the oracle's COUNT(*) FILTER), not
+    # non-NULL values — parity must not depend on `value` nullability.
     agg = ev.agg(
-        F.count(va).alias("n_a"),
-        F.count(vb).alias("n_b"),
+        F.count(F.when(arm_a, F.lit(1))).alias("n_a"),
+        F.count(F.when(~arm_a, F.lit(1))).alias("n_b"),
         F.avg(va).alias("ma"),
         F.avg(vb).alias("mb"),
         F.var_samp(va).alias("sa"),
@@ -1150,7 +1152,11 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_value = per_value.localCheckpoint(eager=False)  # totals + ecdf reuse
     tot = per_value.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # asc_nulls_last: Spark defaults to NULLS FIRST, DuckDB to NULLS
+    # LAST — pin the ECDF walk order so a NULL value can't flip parity.
+    wv = Window.orderBy(F.asc_nulls_last("value")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     ecdf = per_value.select(
         F.sum("ca").over(wv).alias("cum_a"), F.sum("cb").over(wv).alias("cum_b")
     )
@@ -1302,18 +1308,29 @@ def events_active_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.col("ts")).alias("w"),
         F.date_trunc("month", F.col("ts")).alias("m"),
     )
-    g = ev.groupingSets(
-        [["d"], ["w"], ["m"]], "d", "w", "m"
-    ).agg(F.countDistinct("user_id").alias("active_users"))
+    g = ev.groupingSets([["d"], ["w"], ["m"]], "d", "w", "m").agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.grouping_id().alias("gid"),
+    )
+    # Derive the grain from grouping_id(), NOT column NULL-ness: a
+    # genuinely NULL ts yields a NULL day bucket inside the ['d'] set,
+    # which must still be reported under 'day' (the oracle does).
+    # gid bits over (d, w, m): ['d'] -> 0b011=3, ['w'] -> 0b101=5,
+    # ['m'] -> 0b110=6.
     grain = (
-        F.when(F.col("d").isNotNull(), "day")
-        .when(F.col("w").isNotNull(), "week")
+        F.when(F.col("gid") == 3, "day")
+        .when(F.col("gid") == 5, "week")
         .otherwise("month")
+    )
+    bucket = (
+        F.when(F.col("gid") == 3, F.col("d"))
+        .when(F.col("gid") == 5, F.col("w"))
+        .otherwise(F.col("m"))
     )
     return (
         g.select(
             grain.alias("grain"),
-            F.coalesce("d", "w", "m").alias("bucket_start"),
+            bucket.alias("bucket_start"),
             "active_users",
         )
         .orderBy("grain", "bucket_start")
