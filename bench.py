@@ -125,6 +125,13 @@ HEADLINE = [
     "text_collocation_pmi",
     "stats_hhi_market_concentration",
     "orders_yoy_revenue",
+    # round-4 additions: binned (window-free) scale paths
+    "agg_equidepth_histogram_binned",
+    "stats_gini_revenue_binned",
+    "stats_pareto_revenue_share_binned",
+    "events_rfm_segments_binned",
+    "agg_weighted_median_binned",
+    "stats_ks_test_binned",
 ]
 
 

@@ -8,6 +8,7 @@ pairs plus (where SQL-expressible) the equivalent DuckDB oracle SQL in
 from pwir_zadanie_4_mapreduce_spark.operators import (  # noqa: F401
     advanced,
     analytics,
+    binned,
     dedup,
     multimodal,
     relational,

@@ -1608,7 +1608,8 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling samples quantile boundaries (approx_percentile) and
     assigns buckets with a broadcast range lookup — same output shape,
     no global sort. Kept exact here because the oracle must match
-    row-for-row."""
+    row-for-row; the scale path is IMPLEMENTED as
+    agg_equidepth_histogram_binned (operators/binned.py)."""
     orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     t = orders.withColumn("bucket", F.ntile(EQUIDEPTH_BUCKETS).over(w))

@@ -360,7 +360,8 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes quartile membership deterministic cross-engine). The three
     global windows are unpartitioned — fine for per-user rollups
     (users ≪ events); at true scale NTILE over a global order becomes
-    percent_rank over pre-aggregated quantile boundaries."""
+    bucket assignment over pre-aggregated boundaries — IMPLEMENTED as
+    events_rfm_segments_binned (operators/binned.py)."""
     ev = load_table(spark, sf_dir, "events")
     ref = ev.agg(F.to_date(F.max("ts")).alias("ref_d"))
     per_user = (

@@ -1020,8 +1020,8 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One window pass + one min-aggregation, both partitioned by the
     group key. 100 TB note: the in-group sort is the cost; for
-    unbounded groups the approx path is weight-aware t-digest —
-    same query shape, swapped aggregate."""
+    unbounded groups the sort-free path is IMPLEMENTED as
+    agg_weighted_median_binned (operators/binned.py)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
     )
@@ -1143,7 +1143,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is over distinct metric values, not events. 100 TB note:
     for continuous metrics quantize values into fixed bins first; the
     binned ECDF gives D to bin-width accuracy with a bounded table —
-    same plan shape, no global sort of raw data either way."""
+    IMPLEMENTED as stats_ks_test_binned (operators/binned.py)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     arm_a = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
     per_value = ev.groupBy("value").agg(
@@ -1204,7 +1204,8 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-window argument as the equi-depth histogram. 100 TB note:
     past ~10⁹ customers, bucket spend into quantile bins
     (approx_percentile) and compute Gini from the binned Lorenz curve
-    — same output shape, no total order."""
+    — same output shape, no total order; IMPLEMENTED as
+    stats_gini_revenue_binned (operators/binned.py)."""
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1599,7 +1600,8 @@ def stats_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rank/cumsum window runs over per-customer AGGREGATES (bounded
     global window, as in Gini); the percentile thresholds are a
     4-row literal fan-out. 100 TB note: same binned-Lorenz scale path
-    as Gini — quantile bins replace the exact ranks."""
+    as Gini — IMPLEMENTED as stats_pareto_revenue_share_binned
+    (operators/binned.py)."""
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")

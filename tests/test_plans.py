@@ -267,3 +267,28 @@ def test_cdc_full_outer_uses_sort_merge(spark):
 
     plan = explain_str(cdc_orders_snapshot_diff(spark, SMOKE_SF))
     assert "SortMergeJoin" in plan, plan
+
+
+BINNED_SCALE_PATHS = [
+    "agg_equidepth_histogram_binned",
+    "stats_gini_revenue_binned",
+    "stats_pareto_revenue_share_binned",
+    "events_rfm_segments_binned",
+    "agg_weighted_median_binned",
+    "stats_ks_test_binned",
+]
+
+
+def test_binned_scale_paths_have_no_window(spark):
+    """The *_binned siblings exist to replace global-window plans: the
+    physical plan must contain NO Window operator at all (cumulatives
+    come from bounded broadcast triangle joins) and must broadcast the
+    bin tables. (SinglePartition exchanges still appear — they are the
+    1-row scalar min/max aggregates, which partial-aggregate map-side
+    and are scale-safe; Window over data-sized input is what must not.)"""
+    from pwir_zadanie_4_mapreduce_spark.operators.registry import QUERIES
+
+    for name in BINNED_SCALE_PATHS:
+        plan = explain_str(QUERIES[name](spark, SMOKE_SF))
+        assert "Window" not in plan, f"{name}: Window in plan\n{plan}"
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
