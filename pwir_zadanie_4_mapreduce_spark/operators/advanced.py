@@ -407,17 +407,39 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_name", dround(F.col("raw_revenue"), 4).alias("revenue"))
 
 
-@register("agg_approx_percentile")  # rows-only: t-digest approximation, engine-specific
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(o_totalprice, 0.45), 4) AS p45_exact,
+           ROUND(quantile_cont(o_totalprice, 0.55), 4) AS p55_exact,
+           TRUE AS approx_in_bracket
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the fixed-memory percentile for unbounded
     group cardinality (the exact form buffers per-group values;
-    agg_percentiles_price is the oracle-checked exact counterpart)."""
+    agg_percentiles_price is the oracle-checked exact counterpart).
+
+    The approximate value itself is engine-specific (Spark's GK sketch
+    has no DuckDB twin), so the oracle checks a BRACKET instead: with
+    accuracy 1000 the rank error is ≤ 0.1 % of n, so the approximate
+    median must land inside the exact [p45, p55] — emitted as a
+    boolean the oracle expects to be TRUE, alongside the exact bracket
+    endpoints which DO hash-compare cross-engine."""
     orders = load_table(spark, sf_dir, "orders")
+    p45 = F.percentile("o_totalprice", F.lit(0.45))
+    p55 = F.percentile("o_totalprice", F.lit(0.55))
+    approx = F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000))
     return (
         orders.groupBy("o_orderstatus")
         .agg(
-            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
             F.count("*").alias("n"),
+            _r4(p45).alias("p45_exact"),
+            _r4(p55).alias("p55_exact"),
+            ((approx >= p45) & (approx <= p55)).alias("approx_in_bracket"),
         )
         .orderBy("o_orderstatus")
     )

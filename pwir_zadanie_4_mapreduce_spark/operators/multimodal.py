@@ -164,12 +164,29 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")  # rows-only: per-frame fan-out shape check
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, CAST(1 + length(text) % 16 AS INTEGER) AS n_frames
+      FROM documents),
+    e AS (
+      SELECT doc_id, n_frames, UNNEST(range(0, n_frames)) AS frame_idx
+      FROM f)
+    SELECT doc_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx
+    FROM e WHERE frame_idx % 4 = 0
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plumbing: one row per sampled 'frame' (video-style
     fan-out). posexplode over the decoded frame count — the payload is
     projected away BEFORE the explode so the fan-out never duplicates
-    megabyte blobs (the #1 multimodal-pipeline scale mistake)."""
+    megabyte blobs (the #1 multimodal-pipeline scale mistake).
+
+    The deterministic decode stub (n_frames = 1 + len % 16) makes the
+    whole fan-out SQL-mirrorable, so this carries a full value-hash
+    oracle despite the decode running through the real mapInPandas
+    plumbing."""
     feats = multimodal_decode_features(spark, sf_dir)
     return (
         feats.select(
