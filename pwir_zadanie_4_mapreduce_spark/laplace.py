@@ -179,6 +179,11 @@ class LaplaceResult:
     omega: float
     epsilon: float
     duration_s: float
+    # Cumulative wall time of the per-chunk max-diff reduction actions
+    # — the analog of the reference's `breakdown` accumulator, which
+    # sums the time the parallel program spends in MPI exchange/reduce
+    # (laplace-par.c:177,391-392, printed at :541).
+    breakdown_s: float = 0.0
 
 
 def solve(
@@ -217,6 +222,7 @@ def solve(
         chunk_start = make_grid(spark, n, num_partitions).localCheckpoint()
         num_iterations = 0
         final_diff = float("inf")
+        breakdown_s = 0.0
         t0 = time.monotonic()
         done = False
         while not done:
@@ -231,7 +237,12 @@ def solve(
                 g = _sweep(g, n, omega, f"d{s}", tuple(diff_cols))
                 diff_cols.append(f"d{s}")
             chunk_end = g.localCheckpoint()  # ONE job for k sweeps
+            # the global max-reduce is the MPI_Allreduce(MAX) analog
+            # (laplace-par.c:504); its wall time is what the reference
+            # accumulates into `breakdown`
+            tr = time.monotonic()
             maxes = chunk_end.agg(*[F.max(c).alias(c) for c in diff_cols]).first()
+            breakdown_s += time.monotonic() - tr
             converged_at = next((s for s in range(k) if maxes[s] <= epsilon), None)
             if converged_at is None:
                 chunk_start = chunk_end.drop(*diff_cols)
@@ -255,23 +266,39 @@ def solve(
         duration = time.monotonic() - t0
     finally:
         spark.conf.set(conf_key, saved_partitions)
-    return LaplaceResult(chunk_start, num_iterations, final_diff, omega, epsilon, duration)
+    return LaplaceResult(
+        chunk_start, num_iterations, final_diff, omega, epsilon, duration, breakdown_s
+    )
 
 
 def format_grid(result: LaplaceResult, n: int) -> str:
     """O14 ordered sink: rows in (i, j) order, %.10f space-separated
-    (laplace-seq.c:99-111)."""
-    rows = result.grid.orderBy("i", "j").collect()
-    lines = []
-    for i in range(n):
-        lines.append(" ".join("%.10f" % rows[i * n + j]["v"] for j in range(n)))
+    (laplace-seq.c:99-111).
+
+    Streams via ``toLocalIterator`` — the sorted plan's range
+    partitions arrive in order, one at a time, so the driver holds one
+    partition rather than the whole grid: the Spark analog of the
+    reference's rank-by-rank slab gather (laplace-par.c:546-574),
+    where rank 0 reuses one slab buffer instead of materializing N²."""
+    it = result.grid.orderBy("i", "j").toLocalIterator()
+    lines: list[str] = []
+    row_vals: list[str] = []
+    for row in it:
+        row_vals.append("%.10f" % row["v"])
+        if len(row_vals) == n:
+            lines.append(" ".join(row_vals))
+            row_vals = []
     return "\n".join(lines) + "\n"
 
 
 def print_stats(result: LaplaceResult, file=sys.stderr) -> None:
-    """O15 stats sink (laplace-seq.c:224-226)."""
+    """O15 stats sink. Field order mirrors the parallel reference's
+    stats line (laplace-par.c:541): duration, breakdown (cumulative
+    reduce/exchange time — see LaplaceResult.breakdown_s), #iters,
+    diff, epsilon."""
     print(
         f"Statistics: duration(s)={result.duration_s:.6f} "
+        f"breakdown={result.breakdown_s:.6f} "
         f"#iters={result.num_iterations} diff={result.final_diff:.10f} "
         f"epsilon={result.epsilon:.10f}",
         file=file,

@@ -28,3 +28,26 @@ def test_laplace_rejects_n_below_2(capsys):
 def test_unknown_subcommand_exits_with_usage():
     with pytest.raises(SystemExit):
         main(["frobnicate"])
+
+
+def test_stats_line_carries_breakdown(capsys):
+    """The stats sink mirrors the parallel reference's field order
+    (laplace-par.c:541): duration, breakdown, #iters, diff, epsilon."""
+    import io
+
+    from pwir_zadanie_4_mapreduce_spark.laplace import LaplaceResult, print_stats
+
+    res = LaplaceResult(
+        grid=None,
+        num_iterations=15,
+        final_diff=1.9e-6,
+        omega=1.0,
+        epsilon=2.9e-6,
+        duration_s=0.25,
+        breakdown_s=0.05,
+    )
+    buf = io.StringIO()
+    print_stats(res, file=buf)
+    line = buf.getvalue()
+    assert line.startswith("Statistics: duration(s)=0.250000 breakdown=0.050000 ")
+    assert "#iters=15 " in line and "epsilon=0.0000029000" in line
