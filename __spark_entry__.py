@@ -5,9 +5,10 @@ entry(spark)   — flagship query (TPC-H-Q1-style pricing summary) on
 queries()      — every implemented operator from SURVEY.md §2, one
                  callable (spark, sf_dir) -> DataFrame each.
 oracle_sql()   — DuckDB-equivalent SQL per query where the semantics
-                 are ANSI-SQL-expressible; hash-function-specific or
-                 approximate operators (minhash/simhash/IVF/laplace)
-                 are rows-only by design.
+                 are ANSI-SQL-expressible; hash-function-specific
+                 operators (minhash/simhash/IVF) are rows-only by
+                 design. The laplace entries carry VALUES oracles
+                 pinning the reference binary's exact golden grids.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pwir_zadanie_4_mapreduce_spark import catalog, laplace
+from pwir_zadanie_4_mapreduce_spark.laplace_blocked import solve_blocked
 from pwir_zadanie_4_mapreduce_spark.operators import ORACLES, QUERIES
 from pwir_zadanie_4_mapreduce_spark.operators.relational import q1_pricing_summary
 from pwir_zadanie_4_mapreduce_spark.session import get_or_tune
@@ -71,6 +73,61 @@ def _laplace_query_n4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.grid.orderBy("i", "j")
 
 
+def _laplace_blocked_query_n8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-blocked (deep-halo) solver, same capability as
+    laplace_sor_n8 but one shuffle per k sweeps instead of two per
+    sweep (laplace_blocked.py; ghost-zone exchange analog of
+    laplace-par.c:120-129). Forced multi-block so the registry entry
+    exercises the distributed path; bit-identical to the per-sweep
+    solver (tests/test_laplace_blocked.py)."""
+    get_or_tune(spark)
+    result = solve_blocked(spark, n=8, num_blocks=3, sweeps_per_job=8)
+    return result.grid.orderBy("i", "j")
+
+
+def _laplace_blocked_query_n4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N=4 through the blocked solver (15 iterations, golden grid) —
+    oracle'd against the reference binary's exact output as VALUES."""
+    get_or_tune(spark)
+    result = solve_blocked(spark, n=4, num_blocks=2, sweeps_per_job=4)
+    return result.grid.orderBy("i", "j")
+
+
+# The reference binary's exact output (laplace-seq.exe --verbose N,
+# FIXTURES.md §2) as VALUES oracles: converts the laplace entries from
+# rows-only to full value-hash parity in CORRECTNESS_r{N}.json. (The
+# printed grid is %.10f-rounded; the parity hash normalizes doubles to
+# 6 decimals on both engines, so the literals compare exactly.)
+_GOLDEN_N4_ROWS = [
+    (4.56, 4.56, 4.56, 4.56),
+    (7.32, 6.5462491961, 6.4362495359, 6.88),
+    (7.32, 7.8687495359, 7.7587491961, 6.88),
+    (9.85, 9.85, 9.85, 9.85),
+]
+_GOLDEN_N8_ROWS = [
+    (4.56, 4.56, 4.56, 4.56, 4.56, 4.56, 4.56, 4.56),
+    (7.32, 6.0508443009, 5.6100965587, 5.4539415829, 5.4267729218, 5.5180913101, 5.8509568129, 6.88),
+    (7.32, 6.7132822042, 6.3755998373, 6.2189003545, 6.1750581536, 6.2346383153, 6.4457356565, 6.88),
+    (7.32, 7.1066841651, 6.9601252944, 6.8710006903, 6.8199273359, 6.7996672154, 6.8173503075, 6.88),
+    (7.32, 7.4333326651, 7.4872153308, 7.4850576486, 7.4339818451, 7.3267592158, 7.1439977176, 6.88),
+    (7.32, 7.8194305242, 8.0703520282, 8.1480312891, 8.1041910522, 7.9293889311, 7.5518848506, 6.88),
+    (7.32, 8.4540402131, 8.8267300431, 8.9325307405, 8.9053609895, 8.7347256685, 8.2541522400, 6.88),
+    (9.85, 9.85, 9.85, 9.85, 9.85, 9.85, 9.85, 9.85),
+]
+
+
+def _golden_values_sql(rows) -> str:
+    return "SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, {j}, CAST({v!r} AS DOUBLE))"
+        for i, row in enumerate(rows)
+        for j, v in enumerate(row)
+    ) + ") AS t(i, j, v)"
+
+
+_GOLDEN_N4_SQL = _golden_values_sql(_GOLDEN_N4_ROWS)
+_GOLDEN_N8_SQL = _golden_values_sql(_GOLDEN_N8_ROWS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
 
@@ -86,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: tuned(fn) for name, fn in QUERIES.items()}
     out["laplace_sor_n8"] = _laplace_query
     out["laplace_sor_n4"] = _laplace_query_n4
+    out["laplace_blocked_sor_n8"] = _laplace_blocked_query_n8
+    out["laplace_blocked_sor_n4"] = _laplace_blocked_query_n4
     seen = _previously_driver_checked()
     fresh = {k: v for k, v in out.items() if k not in seen}
     rest = {k: v for k, v in out.items() if k in seen}
@@ -96,4 +155,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB oracle per SQL-expressible query (same column names and
     types as the Spark result; doubles rounded to 4 decimals on both
     sides)."""
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    out["laplace_sor_n4"] = _GOLDEN_N4_SQL
+    out["laplace_blocked_sor_n4"] = _GOLDEN_N4_SQL
+    out["laplace_sor_n8"] = _GOLDEN_N8_SQL
+    out["laplace_blocked_sor_n8"] = _GOLDEN_N8_SQL
+    return out
