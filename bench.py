@@ -132,6 +132,10 @@ HEADLINE = [
     "events_rfm_segments_binned",
     "agg_weighted_median_binned",
     "stats_ks_test_binned",
+    # round-4 additions: salted exact top-k sample, streaks, LM filter
+    "sample_reservoir_group",
+    "events_streak_histogram",
+    "quality_perplexity_filter",
 ]
 
 

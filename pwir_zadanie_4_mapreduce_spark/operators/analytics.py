@@ -1521,3 +1521,54 @@ def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = step2.agg(F.count("*").alias("n_signup_click"))
     c3 = step3.agg(F.count("*").alias("n_signup_click_purchase"))
     return c1.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(c3))
+
+
+@register(
+    "events_streak_histogram",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len FROM isl GROUP BY user_id, grp
+    ),
+    longest AS (
+      SELECT user_id, MAX(len) AS streak FROM streaks GROUP BY user_id
+    )
+    SELECT CAST(streak AS BIGINT) AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM longest GROUP BY streak_days ORDER BY streak_days
+    """,
+)
+def events_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, histogrammed
+    (streak length → user count) — the engagement-habit curve behind
+    streak features and retention ladders; the daily-grain sibling of
+    the session gaps-and-islands analysis.
+
+    Plan: dedup to (user, day), one per-user window (date minus
+    row_number collapses each run of consecutive days to a constant
+    island key — users are plentiful, so the window partitions wide),
+    then two cheap re-aggregations of frames that are already
+    users-bounded. One shuffle on user_id serves all three steps;
+    the histogram is streak-length-bounded."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("streak_days"))
+    return (
+        longest.groupBy("streak_days")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("streak_days")
+    )

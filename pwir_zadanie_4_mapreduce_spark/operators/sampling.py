@@ -360,3 +360,66 @@ def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+RESERVOIR_K = 5
+RESERVOIR_SALT = 16
+
+
+@register(
+    "sample_reservoir_group",
+    oracle=f"""
+    SELECT source, CAST(rn AS INTEGER) AS sample_rank, doc_id
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {RESERVOIR_K}
+    ORDER BY source, sample_rank
+    """,
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-per-group uniform sample (deterministic reservoir): the
+    k documents with the smallest md5 rank within each source — the
+    fixed-size-per-stratum counterpart of the hash-prefix splits
+    (inspection panels, eval probes, per-source spot checks re-draw
+    the SAME rows on every engine and every run).
+
+    Plan note (why no window): row_number per group runs one task per
+    group — with a handful of sources that is a handful of tasks over
+    the whole corpus, the same single-partition trap as the global
+    windows SCALE.md calls out. This is the two-phase salted exact
+    top-k instead: phase 1 keeps k candidates per (group, salt) cell
+    via a bounded array_sort (memory ≤ k per cell, full parallelism);
+    phase 2 merges the ≤ salt·k survivors per group. Identical answer,
+    no single-group sort, still one shuffle + one groups-bounded agg."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    entry = F.struct(
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+        F.col("doc_id").alias("doc_id"),
+    )
+    cells = (
+        docs.select(
+            "source",
+            F.pmod(F.xxhash64("doc_id"), F.lit(RESERVOIR_SALT)).alias("salt"),
+            entry.alias("e"),
+        )
+        .groupBy("source", "salt")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, RESERVOIR_K).alias("tops"))
+    )
+    merged = cells.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("tops"))), 1, RESERVOIR_K
+        ).alias("tops")
+    )
+    return (
+        merged.select("source", F.posexplode("tops").alias("pos", "e"))
+        .select(
+            "source",
+            (F.col("pos") + 1).cast("int").alias("sample_rank"),
+            F.col("e.doc_id").alias("doc_id"),
+        )
+        .orderBy("source", "sample_rank")
+    )

@@ -563,6 +563,19 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram table and vocab scalar broadcast back. 100 TB note: the
     model tables are vocab-bounded (Zipf), so scoring is one corpus
     scan + one posting shuffle + broadcast joins."""
+    scored = _bigram_doc_logprobs(spark, sf_dir)
+    return (
+        scored.select("doc_id", "n_bigrams", _r4(F.col("avg_lp")).alias("avg_logprob"))
+        .orderBy(F.desc("avg_logprob"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bigram_doc_logprobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document add-one-smoothed bigram log-probabilities
+    (doc_id, n_bigrams, avg_lp) — the shared model+scoring plan behind
+    text_bigram_lm_score and quality_perplexity_filter; see the former
+    for the plan rationale."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("t")
     )
@@ -590,11 +603,78 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab"))).alias("lp"),
         )
     )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("lp").alias("avg_lp")
+    )
+
+
+@register(
+    "quality_perplexity_filter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab FROM uni),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> {'w1': t[i], 'w2': t[i+1]}), recursive := true)
+      FROM toks
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    scores AS (
+      SELECT bg.doc_id, AVG(ln((c2.c + 1.0) / (c1.c + v.vocab))) AS lp
+      FROM bg
+      JOIN c2 USING (w1, w2)
+      JOIN c1 ON c1.w = bg.w1
+      CROSS JOIN v
+      GROUP BY bg.doc_id
+    ),
+    m AS (SELECT AVG(lp) AS mean_lp FROM scores)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(COUNT(*) FILTER (ROUND(s.lp, 4) >= ROUND(m.mean_lp, 4)) AS BIGINT)
+               AS n_kept,
+           ROUND(100.0 * COUNT(*) FILTER (ROUND(s.lp, 4) >= ROUND(m.mean_lp, 4))
+                 / COUNT(*), 4) AS pct_kept
+    FROM scores s
+    JOIN documents d USING (doc_id)
+    CROSS JOIN m
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluency gate over the corpus: score every document under the
+    corpus's own add-one bigram LM, keep those at or above the corpus
+    mean log-probability, and report the per-source keep rate — the
+    end-to-end KenLM-style filtering decision (text_bigram_lm_score
+    shows the scores; this op makes the cut and audits which sources
+    it would shrink). The threshold is adaptive (corpus mean), so the
+    op stays meaningful under distribution shift; the comparison is on
+    4-decimal-rounded values so the kept set is engine-stable.
+
+    Plan: the shared scoring plan (one posting shuffle + broadcast
+    model tables), then the mean is a 1-row broadcast and the audit a
+    sources-bounded agg. Docs with <2 tokens have no bigrams and are
+    excluded from scoring by construction."""
+    scored = _bigram_doc_logprobs(spark, sf_dir)
+    mean_lp = scored.agg(F.avg("avg_lp").alias("mean_lp"))
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = dround(F.col("avg_lp"), 4) >= dround(F.col("mean_lp"), 4)
     return (
-        scored.groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), _r4(F.avg("lp")).alias("avg_logprob"))
-        .orderBy(F.desc("avg_logprob"), "doc_id")
-        .limit(20)
+        scored.join(src, "doc_id")
+        .crossJoin(F.broadcast(mean_lp))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            _r4(100.0 * F.count(F.when(kept, 1)) / F.count("*")).alias("pct_kept"),
+        )
+        .orderBy("source")
     )
 
 
