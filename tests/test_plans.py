@@ -292,3 +292,26 @@ def test_binned_scale_paths_have_no_window(spark):
         plan = explain_str(QUERIES[name](spark, SMOKE_SF))
         assert "Window" not in plan, f"{name}: Window in plan\n{plan}"
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_reservoir_sample_no_window(spark):
+    """sample_reservoir_group is the two-phase salted exact top-k: no
+    Window (row_number per group would be one task per group) and two
+    aggregation levels (salt cells, then groups)."""
+    from pwir_zadanie_4_mapreduce_spark.operators.sampling import (
+        sample_reservoir_group,
+    )
+
+    plan = explain_str(sample_reservoir_group(spark, SMOKE_SF))
+    assert "Window" not in plan, plan
+    assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 2, plan
+
+
+def test_perplexity_filter_broadcasts_model(spark):
+    """The LM filter joins the corpus posting against broadcast model
+    tables (unigram counts, vocab scalar, mean threshold) — no
+    shuffle join on the scoring path."""
+    from pwir_zadanie_4_mapreduce_spark.operators.registry import QUERIES
+
+    plan = explain_str(QUERIES["quality_perplexity_filter"](spark, SMOKE_SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
