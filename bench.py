@@ -136,6 +136,9 @@ HEADLINE = [
     "sample_reservoir_group",
     "events_streak_histogram",
     "quality_perplexity_filter",
+    "events_sliding_active_users",
+    "quality_dup_rate_by_source",
+    "quality_iqr_outliers_approx",
 ]
 
 

@@ -1572,3 +1572,43 @@ def events_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("streak_days")
     )
+
+
+@register(
+    "events_sliding_active_users",
+    oracle="""
+    WITH win AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - (j.j * INTERVAL '15 minutes') AS w_start,
+             user_id
+      FROM events CROSS JOIN range(4) j(j)
+    )
+    SELECT w_start,
+           w_start + INTERVAL '1 hour' AS w_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM win GROUP BY w_start ORDER BY w_start
+    """,
+)
+def events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per SLIDING hour (15-minute slide) — the
+    overlapping-window engagement curve (tumbling windows miss bursts
+    straddling a boundary; the 4× overlap smooths them). Batch twin of
+    the sliding streaming job; F.window with a slideDuration emits one
+    row per covering window, so each event fans out window/slide = 4×
+    and the count-distinct partial-aggregates per (window, user).
+
+    100 TB note: the fan-out factor is the window/slide ratio — a
+    bounded design constant — and the distinct is two-level hash
+    aggregation; no state grows with history."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "active_users",
+        )
+        .orderBy("w_start")
+    )

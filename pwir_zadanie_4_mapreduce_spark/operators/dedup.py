@@ -980,3 +980,41 @@ _ORACLES["dedup_cluster_size_histogram"] = f"""
     FROM sizes WHERE cluster_size > 1
     GROUP BY cluster_size ORDER BY cluster_size
 """
+
+
+@register(
+    "quality_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT md5(text)) / (1.0 * COUNT(*)), 4)
+               AS dup_rate
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def quality_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the curation dashboard number
+    that decides which feeds need dedup before mixing (a source at 30%
+    self-duplication overweights its content in the training blend).
+    Compose-level sibling of dedup_exact: same digest grouping, rolled
+    up to the per-source rate instead of listing the groups.
+
+    Plan: digest computed in the scan projection; two-level distinct
+    aggregation on (source, digest) — shuffle volume is unique digests,
+    never text. At 100 TB the digest column is typically materialized
+    once at ingest and this query never touches text at all."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("digest")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+            dround(
+                1.0 - F.countDistinct("digest") / (1.0 * F.count("*")), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1767,6 +1767,79 @@ def quality_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_iqr_outliers_approx",
+    oracle="""
+    WITH fences AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.20) AS p20,
+             quantile_cont(l_extendedprice, 0.30) AS p30,
+             quantile_cont(l_extendedprice, 0.70) AS p70,
+             quantile_cont(l_extendedprice, 0.80) AS p80
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS q1_in_bracket,
+           TRUE AS q3_in_bracket,
+           TRUE AS n_outliers_in_bracket
+    FROM lineitem l JOIN fences f USING (l_returnflag)
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def quality_iqr_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB spelling of quality_iqr_outliers: approx_percentile
+    (fixed-memory GK sketch) for the Tukey fences instead of the exact
+    per-group value buffer. The approximate quantiles are
+    engine-specific, so — like agg_approx_percentile — the oracle
+    checks BRACKETS: with accuracy 1000 the rank error is ≤ 0.1 %, so
+    approx Q1 must land in exact [p20, p30], approx Q3 in [p70, p80],
+    and the approx-fence outlier count must fall between the counts
+    for the widest (p20/p80) and narrowest (p30/p70) bracket fences —
+    all three emitted as booleans the oracle expects TRUE. Same plan
+    shape as the exact form: a groups-bounded fences agg broadcast
+    onto one counting scan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    x = F.col("l_extendedprice")
+    fences = li.groupBy("l_returnflag").agg(
+        F.percentile(x, 0.20).alias("p20"),
+        F.percentile(x, 0.30).alias("p30"),
+        F.percentile(x, 0.70).alias("p70"),
+        F.percentile(x, 0.80).alias("p80"),
+        F.approx_percentile(x, F.lit(0.25), F.lit(1000)).alias("q1a"),
+        F.approx_percentile(x, F.lit(0.75), F.lit(1000)).alias("q3a"),
+    )
+
+    def out_of(lo, hi):
+        return F.count(F.when((x < lo) | (x > hi), 1))
+
+    def fence(qlo, qhi, mult=1.5):
+        iqr = F.col(qhi) - F.col(qlo)
+        return F.col(qlo) - mult * iqr, F.col(qhi) + mult * iqr
+
+    wide_lo, wide_hi = fence("p20", "p80")  # widest fences → fewest outliers
+    narrow_lo, narrow_hi = fence("p30", "p70")  # narrowest → most
+    approx_lo, approx_hi = fence("q1a", "q3a")
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            ((F.max("q1a") >= F.max("p20")) & (F.max("q1a") <= F.max("p30"))).alias(
+                "q1_in_bracket"
+            ),
+            ((F.max("q3a") >= F.max("p70")) & (F.max("q3a") <= F.max("p80"))).alias(
+                "q3_in_bracket"
+            ),
+            (
+                (out_of(approx_lo, approx_hi) >= out_of(wide_lo, wide_hi))
+                & (out_of(approx_lo, approx_hi) <= out_of(narrow_lo, narrow_hi))
+            ).alias("n_outliers_in_bracket"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "orders_interpurchase_histogram",
     oracle="""
     WITH gaps AS (
