@@ -82,3 +82,19 @@ def test_max_iterations_cap(spark):
     r = solve_blocked(spark, 16, sweeps_per_job=8, max_iterations=20)
     assert r.num_iterations == 20
     assert r.final_diff > r.epsilon
+
+
+def test_chunking_invariance_bit_exact(spark):
+    """The chunk size and block count are pure execution knobs: any
+    (num_blocks, sweeps_per_job) combination must produce bit-identical
+    grids and identical iteration counts — this sweeps the mid-chunk
+    convergence recompute, the chunk-boundary branch, k=1 (degenerate
+    one-sweep chunks), and halo-wider-than-block placements in one
+    invariant."""
+    n = 12
+    base = solve_blocked(spark, n, num_blocks=1, sweeps_per_job=64)
+    base_grid = laplace.format_grid(base, n)
+    for nb, k in [(1, 1), (3, 5), (4, 7), (2, 64)]:
+        r = solve_blocked(spark, n, num_blocks=nb, sweeps_per_job=k)
+        assert r.num_iterations == base.num_iterations, (nb, k)
+        assert laplace.format_grid(r, n) == base_grid, (nb, k)
