@@ -139,6 +139,8 @@ HEADLINE = [
     "events_sliding_active_users",
     "quality_dup_rate_by_source",
     "quality_iqr_outliers_approx",
+    "stats_linear_regression",
+    "events_anomaly_mad",
 ]
 
 

@@ -2169,3 +2169,104 @@ def orders_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+@register(
+    "stats_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares via the SQL-standard regression
+    aggregates (regr_slope/intercept/r2) — price-vs-quantity fit per
+    return flag, the one-pass moment-based form of the fit every
+    notebook reaches pandas for.
+
+    Plan: regression aggregates are algebraic (sums of x, y, x², xy)
+    — partial+final hash aggregation like any sum; shuffle volume is
+    groups. The moment algebra is the same trick agg_corr_moments and
+    agg_partial_state_merge build by hand; here it is the built-in."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("long").alias("n"),
+            _r4(F.regr_slope(y, x)).alias("slope"),
+            _r4(F.regr_intercept(y, x)).alias("intercept"),
+            dround(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+             MAX(m.med) AS med
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MAX(d.med), 4) AS median_value,
+           ROUND(MAX(d.mad), 4) AS mad,
+           CAST(COUNT(*) FILTER (
+               abs(e.value - d.med) > 3.0 * 1.4826 * d.mad) AS BIGINT)
+               AS n_anomalies
+    FROM events e JOIN dev d USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen per event type: flag values more than
+    3 scaled-MADs from the median (MAD·1.4826 ≈ σ under normality) —
+    the outlier detector that survives the heavy tails and the
+    contaminated baselines that break the mean/σ z-score sibling
+    (timeseries_anomaly_zscore): one wild value shifts a mean, not a
+    median.
+
+    Plan: three passes by construction (median → MAD needs the median
+    → flags need both), each a groups-bounded exact-percentile agg
+    broadcast onto the next scan — the same fence shape as the IQR
+    screens; swap approx_percentile at unbounded cardinality."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
+            F.max("med").alias("med"),
+        )
+    )
+    is_anom = F.abs(F.col("value") - F.col("med")) > 3.0 * 1.4826 * F.col("mad")
+    return (
+        ev.join(F.broadcast(dev), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _r4(F.max("med")).alias("median_value"),
+            _r4(F.max("mad")).alias("mad"),
+            F.count(F.when(is_anom, 1)).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
