@@ -141,6 +141,8 @@ HEADLINE = [
     "quality_iqr_outliers_approx",
     "stats_linear_regression",
     "events_anomaly_mad",
+    "sql_api_pivot_order_status",
+    "sql_api_lateral_topk",
 ]
 
 

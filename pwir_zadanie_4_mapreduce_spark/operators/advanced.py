@@ -1918,3 +1918,80 @@ def udf_arrow_batch_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey", "l_linenumber", dround(F.col("net_price"), 4).alias("net_price")
     )
+
+
+@register(
+    "sql_api_pivot_order_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS st_f,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS st_o,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS st_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_api_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause through the SQL entry point (the DataFrame
+    pivot lives in pivot_event_counts; this exercises the parser
+    surface a SQL-first user reaches for). Explicit IN list, so the
+    plan is a static Expand + aggregate — no value-discovery scan.
+
+    The oracle spells the same table as portable conditional
+    aggregation because PIVOT syntax differs across engines — the
+    results, not the syntax, are the contract."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COALESCE(st_f, 0) AS st_f,
+               COALESCE(st_o, 0) AS st_o,
+               COALESCE(st_p, 0) AS st_p
+        FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS st_f, 'O' AS st_o, 'P' AS st_p))
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_api_lateral_topk",
+    oracle="""
+    SELECT r.r_name, t.n_name, CAST(t.n_customers AS BIGINT) AS n_customers
+    FROM region r, LATERAL (
+      SELECT n.n_name, COUNT(*) AS n_customers
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n_customers DESC, n.n_name
+      LIMIT 2
+    ) t
+    ORDER BY r.r_name, n_customers DESC, t.n_name
+    """,
+)
+def sql_api_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL entry point: the
+    top-2 nations by customer count within each region — identical
+    LATERAL text runs on both engines. Catalyst decorrelates the
+    lateral into a join + per-group window rather than re-executing
+    the subquery per outer row, so the shape stays scale-safe (the
+    DataFrame spelling of the same query is the rank-filter join in
+    window_top3_orders_per_customer)."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, CAST(t.n_customers AS BIGINT) AS n_customers
+        FROM region r, LATERAL (
+          SELECT n.n_name, COUNT(*) AS n_customers
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_customers DESC, n.n_name
+          LIMIT 2
+        ) t
+        ORDER BY r.r_name, n_customers DESC, t.n_name
+        """
+    )
