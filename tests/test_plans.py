@@ -315,3 +315,16 @@ def test_perplexity_filter_broadcasts_model(spark):
 
     plan = explain_str(QUERIES["quality_perplexity_filter"](spark, SMOKE_SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_lateral_topk_decorrelated(spark):
+    """The LATERAL subquery must decorrelate into a partitioned window
+    (with WindowGroupLimit pushdown) joined broadcast — never a
+    per-outer-row re-execution (CartesianProduct / nested loop over
+    the subquery)."""
+    from pwir_zadanie_4_mapreduce_spark.operators.advanced import sql_api_lateral_topk
+
+    plan = explain_str(sql_api_lateral_topk(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
