@@ -51,3 +51,13 @@ def test_stats_line_carries_breakdown(capsys):
     line = buf.getvalue()
     assert line.startswith("Statistics: duration(s)=0.250000 breakdown=0.050000 ")
     assert "#iters=15 " in line and "epsilon=0.0000029000" in line
+
+
+def test_blocked_flag_accepted():
+    """`laplace --blocked N` parses; N validation applies before any
+    Spark work either way."""
+    from pwir_zadanie_4_mapreduce_spark.cli import _build_parser, main
+
+    args = _build_parser().parse_args(["laplace", "--blocked", "4"])
+    assert args.blocked and args.n == 4
+    assert main(["laplace", "--blocked", "1"]) == 1  # N < 2 rejected
