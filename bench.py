@@ -143,6 +143,8 @@ HEADLINE = [
     "events_anomaly_mad",
     "sql_api_pivot_order_status",
     "sql_api_lateral_topk",
+    "basket_lift_rules",
+    "graph_degree_distribution",
 ]
 
 

@@ -1612,3 +1612,158 @@ def events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w_start")
     )
+
+
+@register(
+    "basket_lift_rules",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    freq AS (
+        SELECT l_partkey, COUNT(*) AS part_support FROM items GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS pair_support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    rules AS (
+        SELECT p.part_a, p.part_b,
+               CAST(p.pair_support AS BIGINT) AS pair_support,
+               p.pair_support / (1.0 * fa.part_support) AS conf_a_to_b,
+               n.n_orders * p.pair_support
+                 / (1.0 * fa.part_support * fb.part_support) AS lift
+        FROM pairs p
+        JOIN freq fa ON fa.l_partkey = p.part_a
+        JOIN freq fb ON fb.l_partkey = p.part_b
+        CROSS JOIN n
+        WHERE p.pair_support >= {BASKET_MIN_SUPPORT})
+    SELECT part_a, part_b, pair_support,
+           ROUND(conf_a_to_b, 4) AS conf_a_to_b,
+           ROUND(lift, 4) AS lift
+    FROM rules
+    ORDER BY lift DESC, part_a, part_b
+    """,
+)
+def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase pairs: confidence
+    P(b|a) and lift P(a,b)/(P(a)·P(b)) — the second A-priori pass
+    that turns raw pair supports (basket_part_pairs) into ranked
+    rules; lift > 1 separates real affinity from popularity.
+
+    Plan: the same basket-assembly + in-array pair fan-out as the
+    support pass, then per-part supports and the basket count join
+    back BROADCAST (parts-bounded / 1-row); still one lineitem scan
+    feeding every term."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct().localCheckpoint(eager=False)
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("part_support"))
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").alias("pair_support"))
+        .filter(F.col("pair_support") >= BASKET_MIN_SUPPORT)
+    )
+    fa = freq.withColumnRenamed("l_partkey", "part_a").withColumnRenamed(
+        "part_support", "support_a"
+    )
+    fb = freq.withColumnRenamed("l_partkey", "part_b").withColumnRenamed(
+        "part_support", "support_b"
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_support",
+            dround(F.col("pair_support") / (1.0 * F.col("support_a")), 4).alias(
+                "conf_a_to_b"
+            ),
+            dround(
+                F.col("n_orders")
+                * F.col("pair_support")
+                / (1.0 * F.col("support_a") * F.col("support_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT node, COUNT(*) AS degree
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY node)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph (parts linked when
+    bought in one order) — the first diagnostic run on any graph
+    before choosing algorithms: a heavy tail here is exactly what
+    makes salting/AQE matter for the joins downstream (the pagerank,
+    triangle and components ops all walk this same graph).
+
+    Plan: basket-assembly pair fan-out builds the DISTINCT edge set,
+    degrees are one count over the doubled edge list, the histogram
+    one more degree-bounded agg — no self-join of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("degree")
+    )
