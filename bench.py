@@ -145,6 +145,7 @@ HEADLINE = [
     "sql_api_lateral_topk",
     "basket_lift_rules",
     "graph_degree_distribution",
+    "events_dau_wau_stickiness",
 ]
 
 

@@ -1767,3 +1767,59 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    dau AS (SELECT d, COUNT(*) AS dau FROM days GROUP BY d),
+    fan AS (
+      SELECT DISTINCT user_id, d + CAST(j.j AS INTEGER) AS t
+      FROM days CROSS JOIN range(7) j(j)
+    ),
+    wau AS (SELECT t, COUNT(*) AS wau FROM fan GROUP BY t)
+    SELECT dau.d AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           ROUND(dau.dau / (1.0 * wau.wau), 4) AS stickiness
+    FROM dau JOIN wau ON wau.t = dau.d
+    ORDER BY day
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the habit-strength ratio product
+    teams track beside retention (1.0 = every weekly user shows up
+    daily). WAU(day) = distinct users active in [day−6, day], computed
+    WITHOUT a sliding distinct window: each (user, active-day) row
+    fans out to the 7 report days it supports (a bounded ×7, the same
+    trade as the sliding-window actives), then a two-level distinct
+    aggregation — no per-day state, no re-scan per report day.
+
+    100 TB note: the fan-out constant is window/grain (7); everything
+    after the first (user, day) dedup is users×days-bounded."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    days = days.localCheckpoint(eager=False)  # feeds DAU and the WAU fan-out
+    dau = days.groupBy(F.col("d").alias("day")).agg(F.count("*").alias("dau"))
+    fan = days.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("j"),
+    ).select("user_id", F.date_add(F.col("d"), F.col("j")).alias("t"))
+    wau = fan.distinct().groupBy("t").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, dau["day"] == wau["t"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            dround(F.col("dau") / (1.0 * F.col("wau")), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
