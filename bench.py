@@ -146,6 +146,7 @@ HEADLINE = [
     "basket_lift_rules",
     "graph_degree_distribution",
     "events_dau_wau_stickiness",
+    "sql_api_recursive_bfs",
 ]
 
 
