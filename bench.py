@@ -147,6 +147,7 @@ HEADLINE = [
     "graph_degree_distribution",
     "events_dau_wau_stickiness",
     "sql_api_recursive_bfs",
+    "orders_open_backlog_daily",
 ]
 
 

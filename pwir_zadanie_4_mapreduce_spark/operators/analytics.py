@@ -1823,3 +1823,60 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS d0,
+             CAST(MAX(l.l_shipdate) AS DATE) AS d1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT d0 AS d, 1 AS delta FROM spans
+      UNION ALL
+      SELECT d1 + 1, -1 FROM spans
+    ),
+    daily AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY d)
+    SELECT d AS day,
+           CAST(SUM(net) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+    FROM daily ORDER BY day
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-intervals backlog: how many orders are open (placed
+    but not fully shipped) on each calendar day — the classic
+    interval-overlap-count rewrite: +1 at the start, −1 the day after
+    the last shipment, one running sum over the DELTA table. The
+    naive spelling joins every order to every day it spans (orders ×
+    avg-span rows); this one's heavy lifting is a per-order agg and a
+    days-bounded cumulative.
+
+    The running sum is a global-order window — over the distinct-day
+    table (~2,400 rows for 7 years), i.e. the bounded-metadata case
+    the SCALE.md window rules allow, same as orders_yoy_revenue."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("shipped"))
+        .select(
+            F.to_date("o_orderdate").alias("d0"),
+            F.to_date("shipped").alias("d1"),
+        )
+    )
+    deltas = spans.select(F.col("d0").alias("d"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.date_add("d1", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").alias("day"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    ).orderBy("day")
