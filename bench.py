@@ -148,6 +148,7 @@ HEADLINE = [
     "events_dau_wau_stickiness",
     "sql_api_recursive_bfs",
     "orders_open_backlog_daily",
+    "timeseries_downsample_triangle",
 ]
 
 

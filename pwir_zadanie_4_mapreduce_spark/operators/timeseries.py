@@ -443,3 +443,106 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@register(
+    "timeseries_downsample_triangle",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id, event_type,
+             epoch_us(ts) / 1000000.0 AS x,
+             CAST(value AS DOUBLE) AS y,
+             CAST(FLOOR(epoch_us(ts) / 1000000.0 / 86400) AS BIGINT) AS b
+      FROM events WHERE value IS NOT NULL
+    ),
+    bkt AS (
+      SELECT event_type, b, AVG(x) AS bx, AVG(y) AS by_ FROM pts
+      GROUP BY event_type, b
+    ),
+    ctx AS (
+      SELECT event_type, b,
+             LAG(bx)  OVER w AS px, LAG(by_)  OVER w AS py,
+             LEAD(bx) OVER w AS nx, LEAD(by_) OVER w AS ny
+      FROM bkt WINDOW w AS (PARTITION BY event_type ORDER BY b)
+    ),
+    scored AS (
+      SELECT p.event_type, p.b, p.event_id, p.x, p.y,
+             ROUND(abs((c.px - c.nx) * (p.y - c.py)
+                       - (c.px - p.x) * (c.ny - c.py)), 0) AS area
+      FROM pts p JOIN ctx c USING (event_type, b)
+      WHERE c.px IS NOT NULL AND c.nx IS NOT NULL
+    )
+    SELECT event_type, b AS bucket, event_id,
+           ROUND(y, 4) AS y, CAST(area AS BIGINT) AS area
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, b
+                               ORDER BY area DESC, event_id) = 1
+    ORDER BY event_type, bucket
+    """,
+)
+def timeseries_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style visual downsampling (Steinarsson's
+    largest-triangle-three-buckets, in its parallel bucket-average
+    variant): per event type and day bucket, keep the single point
+    forming the largest triangle with the NEIGHBOR BUCKET AVERAGES —
+    the dashboard decimation that preserves spikes where plain
+    averaging flattens them. The sequential LTTB anchors on the
+    previously *selected* point (an inherently serial chain); the
+    bucket-average anchor is the standard parallelization and is what
+    makes this one shuffle instead of a per-series scan.
+
+    Determinism note: triangle areas are rounded to integers before
+    the argmax (cross-engine float-noise guard, ties then broken by
+    event_id) — the same engine-stability trick as the perplexity
+    threshold. Edge buckets (no neighbor on one side) are excluded;
+    production keeps raw endpoints. Plan: one bucket aggregation, a
+    days-bounded lag/lead per type, broadcast back onto the points,
+    and a per-(type, bucket) top-1 window — all partitions plentiful."""
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast("double").alias("x"),
+            F.col("value").cast("double").alias("y"),
+        )
+        .withColumn("b", F.floor(F.col("x") / 86400).cast("long"))
+    )
+    bkt = pts.groupBy("event_type", "b").agg(
+        F.avg("x").alias("bx"), F.avg("y").alias("by_")
+    )
+    wb = Window.partitionBy("event_type").orderBy("b")
+    ctx = bkt.select(
+        "event_type",
+        "b",
+        F.lag("bx").over(wb).alias("px"),
+        F.lag("by_").over(wb).alias("py"),
+        F.lead("bx").over(wb).alias("nx"),
+        F.lead("by_").over(wb).alias("ny"),
+    ).filter(F.col("px").isNotNull() & F.col("nx").isNotNull())
+    area = dround(
+        F.abs(
+            (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+            - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+        ),
+        0,
+    )
+    scored = pts.join(F.broadcast(ctx), ["event_type", "b"]).select(
+        "event_type", "b", "event_id", "y", area.alias("area")
+    )
+    wtop = Window.partitionBy("event_type", "b").orderBy(
+        F.desc("area"), F.col("event_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("b").alias("bucket"),
+            "event_id",
+            dround(F.col("y"), 4).alias("y"),
+            F.col("area").cast("long").alias("area"),
+        )
+        .orderBy("event_type", "bucket")
+    )
