@@ -149,6 +149,7 @@ HEADLINE = [
     "sql_api_recursive_bfs",
     "orders_open_backlog_daily",
     "timeseries_downsample_triangle",
+    "sim_range_search",
 ]
 
 

@@ -652,3 +652,51 @@ def sim_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("true_label", "predicted_label")
     )
+
+
+SIM_RANGE_TAU = 0.80
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+    q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND(list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+                 / (e.nrm * q.qn), 4) AS cosine
+    FROM e CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+      AND ROUND(list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+                / (e.nrm * q.qn), 4) >= {SIM_RANGE_TAU}
+    ORDER BY cosine DESC, e.vec_id
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (threshold) similarity search: EVERY corpus vector with
+    cosine ≥ τ={SIM_RANGE_TAU} to the query — the retrieval mode
+    top-k cannot express (duplicate detection and recall-first
+    filtering need all matches above a bar, not the best k). The
+    threshold is applied to the 4-decimal-rounded score so the match
+    set is engine-stable at the boundary.
+
+    Plan: broadcast query, one corpus scan, the ≥ τ predicate filters
+    DURING the scan stage — unlike top-k there is no ordering
+    bottleneck at all (the final sort is result-sized). The IVF
+    bucketed variant applies the same predicate per probed partition."""
+    e = _prepped(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = _cosine(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qn"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", dround(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= SIM_RANGE_TAU)
+        .orderBy(F.desc("cosine"), "vec_id")
+    )
