@@ -153,6 +153,7 @@ HEADLINE = [
     "orders_open_backlog_daily",
     "timeseries_downsample_triangle",
     "sim_range_search",
+    "events_time_to_convert_stats",
 ]
 
 

@@ -1880,3 +1880,66 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("day"),
         F.sum("net").over(w).cast("long").alias("open_orders"),
     ).orderBy("day")
+
+
+@register(
+    "events_time_to_convert_stats",
+    oracle="""
+    WITH fc AS (
+      SELECT user_id, MIN(ts) AS c0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT f.user_id, MAX(f.c0) AS c0, MIN(p.ts) AS p0
+      FROM fc f JOIN events p
+        ON p.user_id = f.user_id AND p.event_type = 'purchase'
+       AND p.ts >= f.c0
+      GROUP BY f.user_id
+    ),
+    delays AS (
+      SELECT (epoch_us(p0) / 1000000.0 - epoch_us(c0) / 1000000.0) / 60.0
+               AS minutes
+      FROM fp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           ROUND(quantile_cont(minutes, 0.5), 4) AS p50_minutes,
+           ROUND(quantile_cont(minutes, 0.9), 4) AS p90_minutes
+    FROM delays
+    """,
+)
+def events_time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion LATENCY distribution: per user, first click to first
+    subsequent purchase, summarized as p50/p90 minutes — the "how
+    fast", where events_conversion_within_hour answers "how many".
+    Latency percentiles drive SLA-style funnel alerts (a p90 that
+    doubles flags checkout friction even when the rate holds).
+
+    Plan: two per-user aggregations on the user-key join (fan-out
+    bounded per user), then one single-group exact percentile over the
+    users-bounded delay table; swap approx_percentile when converters
+    outgrow one task's buffer (the documented exact→sketch ladder)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c0"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    fp = (
+        fc.join(purchases, "user_id")
+        .filter(F.col("pts") >= F.col("c0"))
+        .groupBy("user_id")
+        .agg(F.max("c0").alias("c0"), F.min("pts").alias("p0"))
+    )
+    minutes = (F.col("p0").cast("double") - F.col("c0").cast("double")) / 60.0
+    delays = fp.select(minutes.alias("minutes"))
+    pair = F.percentile("minutes", F.array(F.lit(0.5), F.lit(0.9)))
+    return delays.agg(
+        F.count("*").alias("n_converters"), pair.alias("qq")
+    ).select(
+        "n_converters",
+        dround(F.col("qq")[0], 4).alias("p50_minutes"),
+        dround(F.col("qq")[1], 4).alias("p90_minutes"),
+    )
