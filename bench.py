@@ -154,6 +154,7 @@ HEADLINE = [
     "timeseries_downsample_triangle",
     "sim_range_search",
     "events_time_to_convert_stats",
+    "events_growth_accounting",
 ]
 
 

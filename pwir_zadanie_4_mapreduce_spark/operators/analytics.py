@@ -1943,3 +1943,79 @@ def events_time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("qq")[0], 4).alias("p50_minutes"),
         dround(F.col("qq")[1], 4).alias("p90_minutes"),
     )
+
+
+@register(
+    "events_growth_accounting",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(d) AS first_d FROM days GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT dy.d, dy.user_id,
+             CASE WHEN dy.d = f.first_d THEN 'new'
+                  WHEN y.user_id IS NOT NULL THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM days dy
+      JOIN firsts f USING (user_id)
+      LEFT JOIN days y
+        ON y.user_id = dy.user_id AND y.d = dy.d - 1
+    )
+    SELECT d AS day,
+           CAST(COUNT(*) FILTER (status = 'new') AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (status = 'retained') AS BIGINT) AS n_retained,
+           CAST(COUNT(*) FILTER (status = 'resurrected') AS BIGINT) AS n_resurrected
+    FROM tagged GROUP BY d ORDER BY day
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: every active user classified as new
+    (first-ever day), retained (also active yesterday) or resurrected
+    (returning after a gap) — the decomposition growth teams read
+    before any topline DAU move (10% DAU growth made of resurrections
+    is a different business than one made of new users).
+
+    Plan: one (user, day) dedup, the first-day table and the
+    yesterday-self-join both ride the same user-key partitioning —
+    ONE shuffle on user_id serves all three relations; the day
+    rollup is days-bounded. The lag-window spelling is equivalent;
+    the self-join form is used so the classification stays a pure
+    per-row CASE (easier to extend with churn, which needs the
+    day-spine anti-join)."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    firsts = days.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    yesterday = days.select("user_id", F.col("d").alias("y_d"))
+    tagged = (
+        days.join(firsts, "user_id")
+        .join(
+            yesterday,
+            (yesterday["user_id"] == days["user_id"])
+            & (F.col("y_d") == F.date_sub(days["d"], 1)),
+            "left",
+        )
+        .select(
+            days["d"].alias("day"),
+            F.when(days["d"] == F.col("first_d"), "new")
+            .when(F.col("y_d").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    return (
+        tagged.groupBy("day")
+        .agg(
+            F.count(F.when(F.col("status") == "new", 1)).alias("n_new"),
+            F.count(F.when(F.col("status") == "retained", 1)).alias("n_retained"),
+            F.count(F.when(F.col("status") == "resurrected", 1)).alias(
+                "n_resurrected"
+            ),
+        )
+        .orderBy("day")
+    )
