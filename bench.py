@@ -155,6 +155,7 @@ HEADLINE = [
     "sim_range_search",
     "events_time_to_convert_stats",
     "events_growth_accounting",
+    "events_churn_daily",
 ]
 
 

@@ -2019,3 +2019,55 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_churn_daily",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    candidates AS (
+      SELECT user_id, d + 1 AS d FROM days
+    ),
+    churned AS (
+      SELECT c.d, c.user_id
+      FROM candidates c
+      LEFT JOIN days t ON t.user_id = c.user_id AND t.d = c.d
+      WHERE t.user_id IS NULL
+        AND c.d <= (SELECT MAX(d) FROM days)
+    )
+    SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+    FROM churned GROUP BY d ORDER BY day
+    """,
+)
+def events_churn_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth growth-accounting quadrant: users active yesterday
+    but absent today (day-grain churn), the count that balances the
+    ledger — actives(d) − actives(d−1) = new + resurrected − churned.
+    Churn attributes to days the user does NOT appear, so it cannot be
+    a per-row CASE on the activity table: each active day generates a
+    next-day churn CANDIDATE and an anti-join against actual activity
+    keeps the misses (clamped to the observed range so the day after
+    the dataset ends doesn't count everyone as churned).
+
+    Plan: same single user-key shuffle as events_growth_accounting —
+    the candidate shift is a projection, the anti-join co-partitions
+    with it; day rollup days-bounded."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    last_day = days.agg(F.max("d").alias("last_d"))
+    candidates = days.select("user_id", F.date_add("d", 1).alias("d"))
+    churned = (
+        candidates.join(days, ["user_id", "d"], "left_anti")
+        .crossJoin(F.broadcast(last_day))
+        .filter(F.col("d") <= F.col("last_d"))
+    )
+    return (
+        churned.groupBy(F.col("d").alias("day"))
+        .agg(F.count("*").alias("n_churned"))
+        .orderBy("day")
+    )
