@@ -156,6 +156,7 @@ HEADLINE = [
     "events_time_to_convert_stats",
     "events_growth_accounting",
     "events_churn_daily",
+    "quality_split_leakage_audit",
 ]
 
 

@@ -1018,3 +1018,73 @@ def quality_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "quality_split_leakage_audit",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, md5(text) AS digest,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                    THEN 'test'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'valid'
+                  ELSE 'train' END AS split
+      FROM documents
+    ),
+    grp AS (
+      SELECT digest,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT split) AS n_splits,
+             CAST(MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  + MAX(CASE WHEN split <> 'train' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS spans_eval
+      FROM tagged GROUP BY digest
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (n_docs > 1) AS BIGINT) AS n_dup_groups,
+           CAST(COUNT(*) FILTER (n_splits > 1) AS BIGINT) AS n_split_spanning,
+           CAST(COUNT(*) FILTER (spans_eval = 2) AS BIGINT) AS n_leaky_groups,
+           CAST(COALESCE(SUM(n_docs) FILTER (spans_eval = 2), 0) AS BIGINT)
+               AS n_docs_in_leaky
+    FROM grp
+    """,
+)
+def quality_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: exact-duplicate groups that
+    straddle the train boundary — the leakage every eval pipeline must
+    rule out (a doc whose twin sits in train inflates held-out scores;
+    random or hash splits assign duplicates independently, so SOME
+    leakage is the default, not the exception). Composes the exact
+    dedup digest with the md5-prefix split assignment and reports the
+    group-level ledger; the near-dup analog swaps the digest for the
+    minhash cluster id (dedup_cluster_components).
+
+    Plan: one scan computes digest + split in the projection; one
+    digest-keyed aggregation carries (count, distinct splits,
+    train/eval flags); the ledger is a 1-row rollup of the
+    digests-bounded group table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "0d", "test").when(bucket < "1a", "valid").otherwise("train")
+    )
+    tagged = docs.select(F.md5("text").alias("digest"), split.alias("split"))
+    grp = tagged.groupBy("digest").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+        (
+            F.max(F.when(F.col("split") == "train", 1).otherwise(0))
+            + F.max(F.when(F.col("split") != "train", 1).otherwise(0))
+        ).cast("int").alias("spans_eval"),
+    )
+    leaky = F.col("spans_eval") == 2
+    return grp.agg(
+        F.count("*").alias("n_groups"),
+        F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_dup_groups"),
+        F.count(F.when(F.col("n_splits") > 1, 1)).alias("n_split_spanning"),
+        F.count(F.when(leaky, 1)).alias("n_leaky_groups"),
+        F.coalesce(F.sum(F.when(leaky, F.col("n_docs"))), F.lit(0)).alias(
+            "n_docs_in_leaky"
+        ),
+    )
