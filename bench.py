@@ -157,6 +157,7 @@ HEADLINE = [
     "events_growth_accounting",
     "events_churn_daily",
     "quality_split_leakage_audit",
+    "quality_token_budget_report",
 ]
 
 

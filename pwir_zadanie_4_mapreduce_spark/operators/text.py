@@ -871,3 +871,64 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w_a", "w_b")
         .limit(PMI_TOP_PAIRS)
     )
+
+
+@register(
+    "quality_token_budget_report",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             AVG(n_tok) AS tokens_per_doc
+      FROM t GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS corpus_tokens FROM per_src)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           ROUND(p.tokens_per_doc, 4) AS tokens_per_doc,
+           ROUND(100.0 * p.n_tokens / tot.corpus_tokens, 4) AS pct_of_budget
+    FROM per_src p CROSS JOIN tot
+    ORDER BY p.source
+    """,
+)
+def quality_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting table per source: doc count, token count,
+    tokens/doc and share of the corpus token budget — the planning
+    sheet for training-mix decisions, which are token-weighted, not
+    doc-weighted (a source with few long docs can dominate the budget
+    while looking small by doc count; pipeline_training_mix then
+    applies the chosen rates).
+
+    Plan: token counts are a size() over the Catalyst split in the
+    scan projection — the corpus is never exploded; per-source rollup
+    is sources-bounded and the budget share a 1-row broadcast."""
+    from pwir_zadanie_4_mapreduce_spark.operators.stats import _tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(_tokens(F.col("text"))).alias("n_tok")
+    )
+    per_src = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.avg("n_tok").alias("tokens_per_doc"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            dround(F.col("tokens_per_doc"), 4).alias("tokens_per_doc"),
+            dround(100.0 * F.col("n_tokens") / F.col("corpus_tokens"), 4).alias(
+                "pct_of_budget"
+            ),
+        )
+        .orderBy("source")
+    )
