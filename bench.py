@@ -158,6 +158,7 @@ HEADLINE = [
     "events_churn_daily",
     "quality_split_leakage_audit",
     "quality_token_budget_report",
+    "supplier_leadtime_scorecard",
 ]
 
 

@@ -1198,3 +1198,57 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@register(
+    "supplier_leadtime_scorecard",
+    oracle="""
+    WITH d AS (
+      SELECT l.l_suppkey,
+             (epoch_us(l.l_shipdate) / 1000000.0
+              - epoch_us(o.o_orderdate) / 1000000.0) / 86400.0 AS delay_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           ROUND(AVG(delay_days), 4) AS avg_delay_days,
+           ROUND(quantile_cont(delay_days, 0.9), 4) AS p90_delay_days
+    FROM d GROUP BY l_suppkey
+    HAVING COUNT(*) >= 20
+    ORDER BY p90_delay_days DESC, l_suppkey
+    """,
+)
+def supplier_leadtime_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier fulfilment scorecard: order-to-ship delay per supplier
+    (count, mean, p90), suppliers below a minimum shipment count
+    suppressed — the vendor-performance ranking procurement reviews
+    run, and the p90 (not the mean) is what SLAs are written against.
+
+    Plan: the order-date rides the fact-fact equi join (orders
+    pre-projected to two columns), then ONE per-supplier aggregation —
+    exact percentile buffers per supplier, and suppliers are plentiful
+    so the buffers are small and the partitions wide (the favorable
+    exact-percentile regime; contrast the 3-group IQR fences where
+    approx is the scale swap)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # fixture dates are TIMESTAMP_NTZ, which casts to double only via
+    # TIMESTAMP (session is UTC, so the hop is value-preserving)
+    ship_s = F.col("l_shipdate").cast("timestamp").cast("double")
+    order_s = F.col("o_orderdate").cast("timestamp").cast("double")
+    delay = (ship_s - order_s) / 86400.0
+    d = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey", delay.alias("delay_days")
+    )
+    return (
+        d.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_shipments"),
+            dround(F.avg("delay_days"), 4).alias("avg_delay_days"),
+            dround(F.percentile("delay_days", F.lit(0.9)), 4).alias("p90_delay_days"),
+        )
+        .filter(F.col("n_shipments") >= 20)
+        .orderBy(F.desc("p90_delay_days"), "l_suppkey")
+    )
