@@ -202,12 +202,23 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer caches
     materialize(queries["q1_pricing_summary"](spark, sf_dir))
 
+    # Per-query min-of-2 (round-4 verdict #3): first-touch effects —
+    # codegen compilation, parquet footer/OS page-cache misses, JIT —
+    # can double a single measurement and produced false >2× round-
+    # over-round regressions (r03 bigram 6.9 s outlier, r04 eventmix/
+    # yoy flags). Two timed runs per query, storage released before
+    # each so both start from the same state; report the min (the
+    # steady-state plan cost — what a warm cluster would pay).
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        release_storage()
-        t0 = time.monotonic()
-        materialize(queries[name](spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(runs_per_query):
+            release_storage()
+            t0 = time.monotonic()
+            materialize(queries[name](spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -222,6 +233,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf_val,
+            "runs_per_query": runs_per_query,
+            "aggregation": "min",
         }
     )
     print(line)

@@ -58,11 +58,20 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     if args.cmd == "list":
-        from pwir_zadanie_4_mapreduce_spark.operators import QUERIES
+        # derive from the same registry __spark_entry__ publishes so
+        # `list` always reflects the runnable set (laplace entries incl.)
+        try:
+            import __spark_entry__ as entry_mod
 
-        for name in sorted(QUERIES):
+            names = sorted(entry_mod.queries())
+        except ImportError:  # package installed without the repo-root entry
+            from pwir_zadanie_4_mapreduce_spark.operators import QUERIES
+
+            names = sorted(QUERIES) + sorted(
+                f"laplace{b}_sor_n{n}" for b in ("", "_blocked") for n in (4, 8)
+            )
+        for name in names:
             print(name)
-        print("laplace_sor_n8")
         return 0
 
     from pwir_zadanie_4_mapreduce_spark.session import build_session

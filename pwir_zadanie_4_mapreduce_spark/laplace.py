@@ -51,6 +51,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _persisted_rdd_ids(sc) -> set[int]:
+    """IDs of the RDDs the context currently holds in block storage
+    (``JavaSparkContext.getPersistentRDDs`` — the public registry that
+    both ``persist`` and ``localCheckpoint`` register into)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint`` plus the IDs of the RDDs it persisted, so the
+    chunk loop can free the PREVIOUS chunk's grid once the next one has
+    materialized. Without this, storage grows by one N×N grid per chunk
+    within a single solve (~0.5 GB/chunk at N=8192) — a solve must hold
+    exactly one live grid, like the reference's two malloc'd buffers
+    (laplace-seq.c:166-170)."""
+    sc = df.sparkSession.sparkContext
+    before = _persisted_rdd_ids(sc)
+    out = df.localCheckpoint()  # eager: materialized on return
+    return out, _persisted_rdd_ids(sc) - before
+
+
+def release_checkpoints(spark: SparkSession, ids: set[int]) -> None:
+    """Free the block storage of earlier ``checkpoint_tracked`` grids.
+
+    Non-blocking unpersist; only IDs recorded by ``checkpoint_tracked``
+    are touched, so persisted frames owned by other operators in the
+    same session are never evicted."""
+    if not ids:
+        return
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) in ids:
+            jmap.get(k).unpersist(False)
+
+
 def get_omega(n: int) -> float:
     """laplace-common-impl.h:37-41 (note 1.6, not the textbook 2.0)."""
     p = math.cos(math.pi / float(n))
@@ -219,7 +254,7 @@ def solve(
     fitted = max(2, min(int(saved_partitions), (n * n) // 2048 + 1))
     spark.conf.set(conf_key, str(fitted))
     try:
-        chunk_start = make_grid(spark, n, num_partitions).localCheckpoint()
+        chunk_start, cur_ids = checkpoint_tracked(make_grid(spark, n, num_partitions))
         num_iterations = 0
         final_diff = float("inf")
         breakdown_s = 0.0
@@ -236,7 +271,7 @@ def solve(
             for s in range(k):
                 g = _sweep(g, n, omega, f"d{s}", tuple(diff_cols))
                 diff_cols.append(f"d{s}")
-            chunk_end = g.localCheckpoint()  # ONE job for k sweeps
+            chunk_end, end_ids = checkpoint_tracked(g)  # ONE job for k sweeps
             # the global max-reduce is the MPI_Allreduce(MAX) analog
             # (laplace-par.c:504); its wall time is what the reference
             # accumulates into `breakdown`
@@ -246,10 +281,14 @@ def solve(
             converged_at = next((s for s in range(k) if maxes[s] <= epsilon), None)
             if converged_at is None:
                 chunk_start = chunk_end.drop(*diff_cols)
+                release_checkpoints(spark, cur_ids)  # prev chunk's grid
+                cur_ids = end_ids
                 num_iterations += k
                 final_diff = maxes[k - 1]
             elif converged_at == k - 1:
                 chunk_start = chunk_end.drop(*diff_cols)
+                release_checkpoints(spark, cur_ids)
+                cur_ids = end_ids
                 num_iterations += k
                 final_diff = maxes[converged_at]
                 done = True
@@ -259,7 +298,11 @@ def solve(
                 g = chunk_start
                 for s in range(converged_at + 1):
                     g = _sweep(g, n, omega, f"d{s}", tuple(f"d{r}" for r in range(s)))
-                chunk_start = g.drop(*[f"d{s}" for s in range(converged_at + 1)]).localCheckpoint()
+                chunk_start, redo_ids = checkpoint_tracked(
+                    g.drop(*[f"d{s}" for s in range(converged_at + 1)])
+                )
+                release_checkpoints(spark, cur_ids | end_ids)
+                cur_ids = redo_ids
                 num_iterations += converged_at + 1
                 final_diff = maxes[converged_at]
                 done = True

@@ -52,7 +52,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .laplace import LaplaceResult, get_epsilon, get_omega
+from .laplace import (
+    LaplaceResult,
+    checkpoint_tracked,
+    get_epsilon,
+    get_omega,
+    release_checkpoints,
+)
 
 
 def make_grid_rows(spark: SparkSession, n: int) -> DataFrame:
@@ -85,7 +91,7 @@ def _sweeps_factory():
     (its qualname is under ``<locals>`` and cannot be resolved by
     reference): Python workers of a driver-built session created from
     an arbitrary cwd cannot import this package — the repo-wide worker
-    -closure convention (.claude/skills/verify, multimodal.py:52)."""
+    -closure convention (multimodal.py:52)."""
 
     def run_local_sweeps(arr, i0, n, omega, k, own_lo, own_hi):
         """Run ``k`` red-black SOR sweeps in place over ``arr`` (local
@@ -251,19 +257,50 @@ def solve_blocked(
     num_parts = max(nb, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     remap = {b: b for b in range(nb)}
     if nb > 1:
-        cand = spark.range(nb * 64).select(
-            F.col("id").cast("int").alias("c"),
-            F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_parts)).alias("p"),
-        ).collect()
-        part_of = {row["c"]: row["p"] for row in cand}
+        # Lazily widen the candidate pool: 64 keys per block usually
+        # suffice, but if every candidate's Murmur3 partition is taken
+        # we fetch the next 64·nb keys (num_parts >= nb guarantees a
+        # free partition exists; only the candidate-key supply is
+        # finite) instead of silently co-locating two blocks — the 2×
+        # chunk-wall-time failure the remap exists to prevent.
+        part_of: dict[int, int] = {}
+
+        def fetch_candidates(lo: int, hi: int) -> None:
+            rows = spark.range(lo, hi).select(
+                F.col("id").cast("int").alias("c"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_parts)).alias("p"),
+            ).collect()
+            part_of.update({row["c"]: row["p"] for row in rows})
+
+        fetch_candidates(0, nb * 64)
+        t_max = 64
         used: set[int] = set()
         for b in range(nb):
-            for t in range(64):
-                c = b + t * nb
-                if part_of[c] not in used:
-                    remap[b] = c
-                    used.add(part_of[c])
-                    break
+            placed = False
+            t = 0
+            while not placed:
+                while t < t_max:
+                    c = b + t * nb
+                    if part_of[c] not in used:
+                        remap[b] = c
+                        used.add(part_of[c])
+                        placed = True
+                        break
+                    t += 1
+                if not placed:
+                    if t_max >= 4096:
+                        break
+                    fetch_candidates(nb * t_max, nb * t_max * 2)
+                    t_max *= 2
+            if not placed:  # astronomically unlikely with 4096 tries
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "block %d: no collision-free partition among %d "
+                    "candidate keys; sharing a task with another block "
+                    "(chunk wall time may double)", b, t_max,
+                )
+                used.add(part_of[b])
     remap_expr = F.col("b")
     for b, c in remap.items():
         if c != b:
@@ -287,7 +324,9 @@ def solve_blocked(
             .mapInPandas(_chunk_kernel(n, omega, k, rows_per_block), schema=schema)
         )
 
-    chunk_start = make_grid_rows(spark, n).repartitionByRange(nb, "i").localCheckpoint()
+    chunk_start, cur_ids = checkpoint_tracked(
+        make_grid_rows(spark, n).repartitionByRange(nb, "i")
+    )
     num_iterations = 0
     final_diff = float("inf")
     breakdown_s = 0.0
@@ -299,7 +338,7 @@ def solve_blocked(
             k = min(k, max_iterations - num_iterations)
             if k <= 0:
                 break
-        chunk_end = run_chunk(chunk_start, k).localCheckpoint()
+        chunk_end, end_ids = checkpoint_tracked(run_chunk(chunk_start, k))
         tr = time.monotonic()
         per_block = chunk_end.where(F.col("diffs").isNotNull()).select("diffs").collect()
         maxes = [max(row["diffs"][s] for row in per_block) for s in range(k)]
@@ -307,6 +346,8 @@ def solve_blocked(
         converged_at = next((s for s in range(k) if maxes[s] <= epsilon), None)
         if converged_at is None or converged_at == k - 1:
             chunk_start = chunk_end.drop("diffs")
+            release_checkpoints(spark, cur_ids)  # prev chunk's grid
+            cur_ids = end_ids
             num_iterations += k
             final_diff = maxes[k - 1]
             done = converged_at is not None
@@ -316,9 +357,11 @@ def solve_blocked(
             # grid state matches the reference's stop-after-converged-
             # sweep semantics bit-for-bit
             redo = converged_at + 1
-            chunk_start = (
-                run_chunk(chunk_start, redo).drop("diffs").localCheckpoint()
+            chunk_start, redo_ids = checkpoint_tracked(
+                run_chunk(chunk_start, redo).drop("diffs")
             )
+            release_checkpoints(spark, cur_ids | end_ids)
+            cur_ids = redo_ids
             num_iterations += redo
             final_diff = maxes[converged_at]
             done = True

@@ -391,10 +391,14 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     group — with a handful of sources that is a handful of tasks over
     the whole corpus, the same single-partition trap as the global
     windows SCALE.md calls out. This is the two-phase salted exact
-    top-k instead: phase 1 keeps k candidates per (group, salt) cell
-    via a bounded array_sort (memory ≤ k per cell, full parallelism);
-    phase 2 merges the ≤ salt·k survivors per group. Identical answer,
-    no single-group sort, still one shuffle + one groups-bounded agg."""
+    top-k instead: phase 1 collect_lists each (group, salt) cell and
+    keeps its k smallest ranks — per-cell memory is O(|group|/SALT)
+    (the salt bounds the cell to ~1/SALT of the group, NOT to k; the
+    OUTPUT of phase 1 is ≤ k per cell); phase 2 merges the ≤ salt·k
+    survivors per group. Identical answer, no single-group sort, one
+    shuffle + one groups-bounded agg. At 100 TB, size SALT so a cell
+    fits an executor (SALT ∝ |largest group| / budget), or escalate to
+    two-level salting (salt→merge→salt again) for pathological groups."""
     docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
     entry = F.struct(
         F.md5(F.col("doc_id").cast("string")).alias("rk"),

@@ -16,7 +16,15 @@ def test_list_prints_every_query(capsys):
     from pwir_zadanie_4_mapreduce_spark.operators import QUERIES
 
     assert set(out) >= set(QUERIES)
-    assert "laplace_sor_n8" in out
+    # every runnable laplace entry from the __spark_entry__ registry,
+    # not just a hardcoded one (round-4 advice)
+    for name in (
+        "laplace_sor_n8",
+        "laplace_sor_n4",
+        "laplace_blocked_sor_n8",
+        "laplace_blocked_sor_n4",
+    ):
+        assert name in out
 
 
 def test_laplace_rejects_n_below_2(capsys):

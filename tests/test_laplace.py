@@ -79,6 +79,21 @@ def test_n16_stats(spark):
     assert abs(r.final_diff - 0.0000056832) < 1e-9
 
 
+def test_solve_storage_stays_bounded(spark):
+    """Round-4 advice: each chunk's localCheckpoint must release the
+    previous chunk's grid — a solve holds ONE live grid (like the
+    reference's two malloc'd buffers), not one per chunk. N=16 runs
+    132 iterations = 17 chunks at k=8; without the release the
+    persistent-RDD registry would gain ~17 entries."""
+    before = laplace._persisted_rdd_ids(spark.sparkContext)
+    r = laplace.solve(spark, 16)
+    after = laplace._persisted_rdd_ids(spark.sparkContext)
+    leaked = after - before
+    # only the final grid's checkpoint survives (the caller's result)
+    assert len(leaked) <= 2, f"chunk checkpoints leaked: {sorted(leaked)}"
+    assert r.num_iterations == 132  # release must not change results
+
+
 @pytest.mark.skipif(not _BIG, reason="~6 min; set PWIR_LAPLACE_BIG=1")
 def test_n32_stats(spark):
     # FIXTURES.md §2: 368 iterations, final diff 0.0000110032
