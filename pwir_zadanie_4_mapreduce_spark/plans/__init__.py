@@ -11,3 +11,9 @@ from pwir_zadanie_4_mapreduce_spark.plans.inspect import (  # noqa: F401
     has_pushed_filters,
     read_schema_columns,
 )
+from pwir_zadanie_4_mapreduce_spark.plans.metrics import (  # noqa: F401
+    executed_nodes,
+    per_exchange_records,
+    scan_output_rows,
+    shuffle_stats,
+)
