@@ -162,6 +162,37 @@ HEADLINE = [
 ]
 
 
+def _multifile_dir(spark, src_dir: str) -> tuple[str, str]:
+    """Resolve the benchmark input to a multi-file layout.
+
+    The driver fixtures are one file + one row group per table, which
+    pins every scan to a single split — the bench then never exercises
+    split planning or parallel-scan shuffle fan-in (SCALE.md's honesty
+    caveat, round-4 verdict #4). Re-materialize the SAME rows as >=32
+    part files per fact table (cached under .fixtures/, built once)
+    and measure on that: the layout a real cluster reads. Set
+    SPARK_GRAFT_SINGLE_FILE=1 to benchmark the raw driver layout.
+    Falls back to the source dir if materialization fails.
+    """
+    if os.environ.get("SPARK_GRAFT_SINGLE_FILE"):
+        return src_dir, "single-file"
+    base = os.path.basename(src_dir.rstrip("/"))
+    dst = os.path.join(REPO_ROOT, ".fixtures", "multifile", base)
+    marker = os.path.join(dst, "_COMPLETE")
+    if not os.path.exists(marker):
+        try:
+            from tools.make_fixtures import multifile
+
+            multifile(spark, src_dir, dst, files=32)
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        except Exception as exc:  # noqa: BLE001 - bench must still run
+            print(f"multifile materialization failed ({exc}); "
+                  f"benching single-file layout", file=sys.stderr)
+            return src_dir, "single-file"
+    return dst, "multifile-32"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -173,6 +204,7 @@ def main() -> None:
         cpus=cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    sf_dir, layout = _multifile_dir(spark, sf_dir)
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
@@ -220,7 +252,7 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = os.path.basename(sf_dir.rstrip("/")).rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
@@ -235,6 +267,7 @@ def main() -> None:
             "sf": sf_val,
             "runs_per_query": runs_per_query,
             "aggregation": "min",
+            "layout": layout,
         }
     )
     print(line)

@@ -436,15 +436,39 @@ def agg_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct_users",
-    oracle=None,  # approximate result: driver records rows-only
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_in_band
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
 )
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path where an
-    exact distinct's shuffle would dominate. rsd pinned for determinism."""
+    exact distinct's shuffle would dominate. rsd pinned for
+    determinism.
+
+    Bracket oracle (round-4 verdict #8, the agg_approx_percentile
+    technique): the HLL++ estimate itself has no DuckDB twin, so the
+    query emits the EXACT per-group distinct (hash-compared
+    cross-engine) plus a boolean asserting the estimate lands within
+    5× the configured rsd (1 % → ±5 % band, ≈5σ: deterministic for a
+    fixed dataset, generous enough to never flap)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count("*").alias("n_events"),
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    exact = F.count_distinct("user_id")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact.alias("exact_users"),
+            (
+                (approx >= (exact * F.lit(0.95)).cast("long"))
+                & (approx <= (exact * F.lit(1.05)).cast("long"))
+            ).alias("approx_in_band"),
+        )
+        .orderBy("event_type")
     )
 
 

@@ -68,16 +68,33 @@ def test_dynamic_partition_pruning(spark):
     ev = load_table(spark, SMOKE_SF, "events").select("event_id", "event_type", "value")
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "events_part")
-        write_parquet(ev, path, partition_by=["event_type"])
+        # 4 part files inside EVERY partition dir: pruning must skip
+        # real file splits, not just one file per value (round-4
+        # verdict #4 — the single-row-group fixtures never tested this)
+        write_parquet(ev.repartition(4), path, partition_by=["event_type"])
         fact = read_parquet(spark, path)
         dim = spark.createDataFrame(
             [("click", 1.0), ("purchase", 3.0)], "event_type string, weight double"
         ).filter(F.col("weight") > 2.0)  # only 'purchase' survives
-        joined = fact.join(dim, "event_type").agg(F.count("*").alias("n"))
+        # broadcast(dim) pins the 100 TB shape: fact probes, dim
+        # builds. Without it, AQE broadcasts the (tiny fixture) FACT
+        # side and the pruning subquery falls back to `true` — the
+        # original form of this test passed on the plan STRING while
+        # runtime pruning never happened.
+        joined = fact.join(F.broadcast(dim), "event_type").agg(F.count("*").alias("n"))
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" in plan.lower(), plan
         expected = ev.filter(F.col("event_type") == "purchase").count()
-        assert joined.first()["n"] == expected
+        total = ev.count()
+        assert joined.collect()[0]["n"] == expected
+        # executed-scan metric: the fact scan EMITTED only the pruned
+        # partition's rows — the other partitions' files (4 splits
+        # each) were never read, not read-then-filtered
+        from pwir_zadanie_4_mapreduce_spark.plans import scan_output_rows
+
+        scanned = scan_output_rows(joined)
+        assert scanned < total, (scanned, total)
+        assert scanned == expected, (scanned, expected)
 
 
 def test_partitioned_parquet_write_prunes(spark):

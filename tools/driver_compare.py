@@ -10,6 +10,10 @@ sees it.
 
 Usage:
     python tools/driver_compare.py [query ...]   # default: all oracled
+    python tools/driver_compare.py --out FULLCHECK_r05.json
+        # full-registry sweep, committed artifact (round-4 verdict #7):
+        # oracled queries get the full rows/columns/hash compare;
+        # rows-only queries are executed and their row count recorded
 """
 
 from __future__ import annotations
@@ -79,14 +83,25 @@ def _kind(dtype) -> str:
 
 
 def main(argv: list[str]) -> int:
+    import json
+
     import duckdb
 
     import __spark_entry__ as entrymod
     from pwir_zadanie_4_mapreduce_spark.session import build_session
 
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = argv or sorted(oracles)
+    # --out = the committed full-registry sweep: every query, rows-only
+    # ones included (recorded as executed + row count, like the driver)
+    names = argv or (sorted(queries) if out_path else sorted(oracles))
+    results: dict[str, dict] = {}
 
     spark = build_session(cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "16")))
     con = duckdb.connect()
@@ -96,7 +111,20 @@ def main(argv: list[str]) -> int:
     failures = []
     for name in names:
         if name not in oracles:
-            print(f"SKIP {name}: no oracle")
+            if out_path:
+                # rows-only by declared design: run it, record rows
+                # (the weaker check the driver applies to these)
+                t0 = time.monotonic()
+                try:
+                    n = len(queries[name](spark, SF_DIR).toPandas())
+                    results[name] = {"status": "rows_only", "spark_rows": n}
+                    print(f"ran  {name} ({time.monotonic() - t0:.1f}s): {n} rows (no oracle)")
+                except Exception as exc:  # noqa: BLE001
+                    failures.append(name)
+                    results[name] = {"status": "fail", "err": repr(exc)}
+                    print(f"FAIL {name}: exception {exc!r}")
+            else:
+                print(f"SKIP {name}: no oracle")
             continue
         t0 = time.monotonic()
         try:
@@ -104,6 +132,7 @@ def main(argv: list[str]) -> int:
             ddf = con.sql(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "fail", "err": repr(exc)}
             print(f"FAIL {name}: exception {exc!r}")
             continue
         probs = []
@@ -128,11 +157,34 @@ def main(argv: list[str]) -> int:
         dt = time.monotonic() - t0
         if probs:
             failures.append(name)
+            results[name] = {
+                "status": "fail",
+                "spark_rows": len(spdf),
+                "oracle_rows": len(ddf),
+                "probs": probs,
+            }
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(probs))
         else:
+            results[name] = {
+                "status": "pass",
+                "spark_rows": len(spdf),
+                "oracle_rows": len(ddf),
+            }
             print(f"ok   {name} ({dt:.1f}s)")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} ok; failures: {failures}")
+    if out_path:
+        summary = {
+            "sf_dir": SF_DIR,
+            "total": len(names),
+            "pass": sum(1 for r in results.values() if r["status"] == "pass"),
+            "rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+            "fail": len(failures),
+            "queries": results,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(summary, fh, indent=1)
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 

@@ -36,11 +36,26 @@ DEFAULT_QUERIES = [
     "quality_perplexity_filter",
 ]
 
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# Multi-file layouts (>=32 part files per fact table; round-4 verdict
+# #4) so the probe exercises split planning and parallel-scan shuffle
+# fan-in; sf1 (10x sf0.1, built by tools/make_fixtures.py scaleup with
+# per-replica key remap + shingle-space disjointness) adds a third
+# decade of input to catch superlinear stages the 0.001->0.1 span
+# misses. Build once with:
+#   python tools/make_fixtures.py multifile /root/testdata/sfX .fixtures/multifile/sfX
+#   python tools/make_fixtures.py scaleup  /root/testdata/sf0.1 .fixtures/multifile/sf1
+_FIX = os.path.join(REPO_ROOT, ".fixtures", "multifile")
+SF_DIRS = [os.path.join(_FIX, d) for d in ("sf0.001", "sf0.01", "sf0.1")]
+SF1_DIR = os.path.join(_FIX, "sf1")
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT_QUERIES
+    with_sf1 = "--sf1" in sys.argv[1:]
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or DEFAULT_QUERIES
+    sf_dirs = SF_DIRS + ([SF1_DIR] if with_sf1 else [])
+    missing = [d for d in sf_dirs if not os.path.isdir(d)]
+    if missing:
+        sys.exit(f"missing fixture dirs (build with tools/make_fixtures.py): {missing}")
     from pwir_zadanie_4_mapreduce_spark.session import build_session
 
     spark = build_session(
@@ -63,16 +78,24 @@ def main() -> None:
         return time.monotonic() - t0
 
     # warm-up JVM/codegen so sf0.001 isn't charged for startup
-    run("q1_pricing_summary", SF_DIRS[0])
+    run("q1_pricing_summary", sf_dirs[0])
 
-    print(f"{'query':35s} {'sf0.001':>8s} {'sf0.01':>8s} {'sf0.1':>8s} {'slope':>6s}")
+    import math
+
+    heads = [os.path.basename(d) for d in sf_dirs]
+    print(f"{'query':35s} " + " ".join(f"{h:>8s}" for h in heads) + f" {'slope':>6s}")
     for name in names:
-        ts = [run(name, d) for d in SF_DIRS]
-        # slope of the last 10× step in log-log space; guard tiny times
-        import math
-
-        slope = math.log10(max(ts[2], 1e-3) / max(ts[1], 1e-3))
-        print(f"{name:35s} {ts[0]:8.2f} {ts[1]:8.2f} {ts[2]:8.2f} {slope:6.2f}")
+        # min-of-2 per (query, sf): first-touch codegen/page-cache
+        # noise is larger than many of the small-sf timings themselves
+        ts = [min(run(name, d), run(name, d)) for d in sf_dirs]
+        # slope of the LAST 10× step in log-log space (the largest
+        # measured decade; guard tiny times)
+        slope = math.log10(max(ts[-1], 1e-3) / max(ts[-2], 1e-3))
+        print(
+            f"{name:35s} "
+            + " ".join(f"{t:8.2f}" for t in ts)
+            + f" {slope:6.2f}"
+        )
     spark.stop()
 
 
