@@ -118,6 +118,43 @@ def test_dfcap_candidate_join_is_df_bounded(no_broadcast):
     assert sum(per) >= postings * 0.5, (per, postings)
 
 
+def test_basket_pairs_no_self_join_fanout(no_broadcast):
+    """basket_part_pairs claims ONE basket-assembly shuffle with the
+    C(k,2) pair fan-out JVM-side AFTER the shuffle — a lineitem
+    self-join plan would instead ship the full pair fan-out (sum of
+    C(k,2) per order ≈ 4× lineitem rows here) through an exchange."""
+    from pwir_zadanie_4_mapreduce_spark.operators.analytics import basket_part_pairs
+
+    spark = no_broadcast
+    li = load_table(spark, CORRECTNESS_SF, "lineitem")
+    n_li = li.count()
+    # analytic fan-out: sum over orders of C(|distinct parts|, 2) —
+    # the rows that MUST co-locate for pair-support counting in any
+    # correct plan
+    k = F.size(F.collect_set("l_partkey"))
+    total_pairs = (
+        li.groupBy("l_orderkey")
+        .agg((k * (k - 1) / 2).alias("p"))
+        .agg(F.sum("p"))
+        .first()[0]
+    )
+    df = basket_part_pairs(spark, CORRECTNESS_SF)
+    out_rows = len(df.collect())
+    per = PM.per_exchange_records(df)
+    stats = PM.shuffle_stats(df)
+    # Legitimate volume: one basket-assembly exchange (partial
+    # collect_set combine ships ~one row per order, bounded by
+    # lineitem rows) + the C(k,2) pair exchange (bounded by the
+    # analytic fan-out) + the result orderBy. A lineitem SELF-JOIN
+    # plan additionally ships lineitem through the join exchange
+    # twice, pushing total past pairs + 2×lineitem — assert under it.
+    budget = 1.1 * total_pairs + n_li + out_rows
+    assert stats["records"] <= budget, (stats, per, total_pairs, n_li)
+    # and no single exchange exceeds the pair fan-out itself
+    assert max(per) <= 1.1 * total_pairs, (per, total_pairs)
+    assert out_rows > 0
+
+
 def test_pack_sequences_shuffles_one_row_per_doc(no_broadcast):
     spark = no_broadcast
     docs = load_table(spark, CORRECTNESS_SF, "documents")
