@@ -159,6 +159,9 @@ HEADLINE = [
     "quality_split_leakage_audit",
     "quality_token_budget_report",
     "supplier_leadtime_scorecard",
+    # round-5 additions
+    "events_user_feature_matrix",
+    "agg_approx_distinct_users",
 ]
 
 

@@ -2071,3 +2071,70 @@ def events_churn_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_churned"))
         .orderBy("day")
     )
+
+
+@register(
+    "events_user_feature_matrix",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n,
+               SUM(value) AS v,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        FROM events WHERE user_id < 120 GROUP BY user_id, CAST(ts AS DATE))
+    SELECT user_id, day,
+           CAST(SUM(n)  OVER w AS BIGINT) AS n_events_7d,
+           ROUND(SUM(v) OVER w, 4)        AS value_7d,
+           CAST(SUM(np) OVER w AS BIGINT) AS purchases_7d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS active_days_7d,
+           CAST(COALESCE(date_diff('day',
+                LAG(day) OVER (PARTITION BY user_id ORDER BY day), day), -1)
+                AS BIGINT) AS gap_days
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day
+    """,
+)
+def events_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily training-feature matrix — the churn/propensity
+    feature-engineering shape: one row per (user, active day) with
+    7-day rolling activity features (event count, value sum, purchase
+    count, active-day count) plus the gap since the previous active
+    day. The user filter keeps the sf0.01 oracle frame small; the
+    plan is identical without it.
+
+    Plan: one groupBy to the (user, day) grain, then ONE user-
+    partitioned window pass computes every rolling feature (RANGE
+    frame over epoch-day, so calendar gaps are handled without a
+    fill-join) and the lag. 100 TB: windows partition by user —
+    millions of independent partitions, no global sort; state per
+    partition is bounded by the 7-day frame, the same bound a
+    streaming implementation would carry as watermark state."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 120)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("v"),
+            F.count_if(F.col("event_type") == "purchase").alias("np"),
+        )
+        .withColumn("dnum", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w7 = Window.partitionBy("user_id").orderBy("dnum").rangeBetween(-6, 0)
+    wlag = Window.partitionBy("user_id").orderBy("dnum")
+    return (
+        daily.select(
+            "user_id",
+            "day",
+            F.sum("n").over(w7).alias("n_events_7d"),
+            dround(F.sum("v").over(w7), 4).alias("value_7d"),
+            F.sum("np").over(w7).alias("purchases_7d"),
+            F.count(F.lit(1)).over(w7).alias("active_days_7d"),
+            F.coalesce(
+                F.col("dnum") - F.lag("dnum").over(wlag), F.lit(-1)
+            ).cast("bigint").alias("gap_days"),
+        )
+        .orderBy("user_id", "day")
+    )

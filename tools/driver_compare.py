@@ -58,6 +58,16 @@ def _canon_frame(df):
         if isinstance(v, bool):
             return str(int(v))
         if hasattr(v, "isoformat"):
+            # normalize DATE vs midnight-DATETIME: Spark DATE comes
+            # through pandas as datetime.date ('2024-01-05'), DuckDB
+            # DATE as datetime64 ('2024-01-05T00:00:00') — same value,
+            # different isoformat. The driver hash-matches these
+            # (r04: orders_open_backlog_daily et al. passed with DATE
+            # columns), so the pre-flight must not false-positive.
+            import datetime as _dt
+
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                v = _dt.datetime(v.year, v.month, v.day)
             return v.isoformat()
         return str(v)
 
@@ -67,9 +77,7 @@ def _canon_frame(df):
     return rows
 
 
-def _kind(dtype) -> str:
-    import numpy as np
-
+def _kind(dtype, series=None) -> str:
     k = getattr(dtype, "kind", "O")
     if k in ("i", "u"):
         return "int"
@@ -79,6 +87,14 @@ def _kind(dtype) -> str:
         return "datetime"
     if k == "b":
         return "bool"
+    if k == "O" and series is not None:
+        # Spark DATE columns surface as object-of-datetime.date; the
+        # driver treats them as dates like DuckDB's datetime64 DATE
+        import datetime as _dt
+
+        vals = [v for v in series if v is not None]
+        if vals and all(isinstance(v, _dt.date) for v in vals):
+            return "datetime"
     return "object"
 
 
@@ -142,7 +158,7 @@ def main(argv: list[str]) -> int:
             probs.append(f"rows spark={len(spdf)} duck={len(ddf)}")
         if not probs:
             for c in sorted(spdf.columns):
-                ks, kd = _kind(spdf[c].dtype), _kind(ddf[c].dtype)
+                ks, kd = _kind(spdf[c].dtype, spdf[c]), _kind(ddf[c].dtype, ddf[c])
                 if ks != kd:
                     probs.append(f"dtype kind {c}: spark={spdf[c].dtype} duck={ddf[c].dtype}")
         if not probs:
