@@ -78,6 +78,18 @@ def test_n16_stats_default_sizing(spark):
     assert abs(r.final_diff - 0.0000056832) < 1e-9
 
 
+def test_blocked_storage_stays_bounded(spark):
+    """Round-4 advice: the chunk loop must release the previous
+    chunk's localCheckpoint — small k at N=16 runs many chunks, each
+    materializing a grid; only the final one may remain persisted."""
+    before = laplace._persisted_rdd_ids(spark.sparkContext)
+    r = solve_blocked(spark, 16, sweeps_per_job=8)
+    after = laplace._persisted_rdd_ids(spark.sparkContext)
+    leaked = after - before
+    assert len(leaked) <= 2, f"chunk checkpoints leaked: {sorted(leaked)}"
+    assert r.num_iterations == 132
+
+
 def test_max_iterations_cap(spark):
     r = solve_blocked(spark, 16, sweeps_per_job=8, max_iterations=20)
     assert r.num_iterations == 20
