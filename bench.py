@@ -162,6 +162,8 @@ HEADLINE = [
     # round-5 additions
     "events_user_feature_matrix",
     "agg_approx_distinct_users",
+    "sample_kfold_assignment",
+    "pipeline_curriculum_order",
 ]
 
 

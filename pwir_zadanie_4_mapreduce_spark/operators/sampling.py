@@ -427,3 +427,58 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "sample_rank")
     )
+
+
+KFOLD_K = 5
+
+
+@register(
+    "sample_kfold_assignment",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               ((strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+               % {KFOLD_K} AS fold
+        FROM documents)
+    SELECT CAST(fold AS INTEGER) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM b GROUP BY fold ORDER BY fold
+    """,
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment + fold-balance
+    audit over DOCUMENTS: fold = (256-way md5 bucket) mod k — the
+    plain CV split, complementing sample_group_kfold (which folds by
+    GROUP key so correlated rows can't straddle train/test). Same
+    engine-neutral-hash contract as the split family — a row's fold
+    follows it forever, any engine recomputes it, and adding
+    documents never moves existing rows between folds (the property
+    RNG-based folds lack).
+
+    The hex→int step is spelled with strpos/instr arithmetic because
+    BOTH engines evaluate it identically (no conv() in DuckDB); it is
+    a pure projection, so at 100 TB fold membership costs nothing and
+    pushes into the scan. The audit aggregation is k-bounded."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    alphabet = F.lit("0123456789abcdef")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.instr(alphabet, F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(alphabet, F.substring(h, 2, 1)) - 1
+    )
+    return (
+        docs.withColumn("fold", (bucket % KFOLD_K).cast("int"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("fold")
+    )

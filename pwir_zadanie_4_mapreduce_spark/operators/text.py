@@ -932,3 +932,52 @@ def quality_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CURRICULUM_BAND_CHARS = 512
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    SELECT source, doc_id,
+           CAST(FLOOR(n_chars / {CURRICULUM_BAND_CHARS}.0) AS INTEGER)
+               AS difficulty_band,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY FLOOR(n_chars / {CURRICULUM_BAND_CHARS}.0),
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                         doc_id) AS BIGINT) AS curriculum_rank
+    FROM documents
+    ORDER BY source, curriculum_rank
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering — the training-schedule step: within
+    each shard (`source`), documents are ranked easy→hard (length
+    bands as the difficulty proxy) with a DETERMINISTIC shuffle inside
+    each band (md5 of doc_id), so every epoch and every engine
+    reproduces the same curriculum and no adjacent-document
+    correlation survives within a band.
+
+    Plan: rank is one window pass partitioned BY SHARD — the same
+    sharding contract as pipeline_pack_sequences: shards order
+    independently and in parallel, a corpus-GLOBAL curriculum would
+    serialize (and is the documented anti-pattern; production packers
+    interleave per-shard streams instead). The md5 tie-break keeps the
+    order total, so re-runs are byte-identical."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    band = F.floor(F.col("n_chars") / float(CURRICULUM_BAND_CHARS))
+    shuffle_key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    w = Window.partitionBy("source").orderBy(band, shuffle_key, F.col("doc_id"))
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            band.cast("int").alias("difficulty_band"),
+            F.row_number().over(w).cast("bigint").alias("curriculum_rank"),
+        )
+        .orderBy("source", "curriculum_rank")
+    )
