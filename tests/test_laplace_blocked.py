@@ -69,6 +69,18 @@ def test_n8_bit_identical_to_per_sweep_solver(spark):
     assert laplace.format_grid(blocked, 8) == laplace.format_grid(per_sweep, 8)
 
 
+def test_odd_n_bit_identical_to_per_sweep_solver(spark):
+    """Odd n exercises the strided fallback path of the sweep kernel
+    (the dense-plane fast path requires even n); capped iterations
+    keep the per-sweep reference cheap while still comparing grids
+    byte-for-byte after multiple chunks."""
+    n = 9
+    blocked = solve_blocked(spark, n, num_blocks=2, sweeps_per_job=3, max_iterations=6)
+    per_sweep = laplace.solve(spark, n, max_iterations=6)
+    assert blocked.num_iterations == per_sweep.num_iterations == 6
+    assert laplace.format_grid(blocked, n) == laplace.format_grid(per_sweep, n)
+
+
 def test_n16_stats_default_sizing(spark):
     # defaults (heuristic block count, k=32): 132 iterations, diff
     # 0.0000056832 — the BASELINE.md row, fast enough here because the
