@@ -164,6 +164,7 @@ HEADLINE = [
     "agg_approx_distinct_users",
     "sample_kfold_assignment",
     "pipeline_curriculum_order",
+    "quality_embedding_audit",
 ]
 
 

@@ -2277,3 +2277,73 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+NEARZERO_EPS = 0.01
+
+
+@register(
+    "quality_embedding_audit",
+    oracle=f"""
+    WITH per AS (
+        SELECT label,
+               sqrt(list_dot_product(embedding, embedding)) AS nrm,
+               len(embedding) AS dim,
+               len(list_filter(embedding, x -> abs(x) < {NEARZERO_EPS}))
+                   AS n_nearzero,
+               len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))))
+                   AS n_nan
+        FROM embeddings)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(dim) AS BIGINT) AS min_dim,
+           CAST(MAX(dim) AS BIGINT) AS max_dim,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(MAX(nrm), 4) AS max_norm,
+           ROUND(AVG(n_nearzero), 4) AS avg_nearzero,
+           CAST(SUM(n_nan) AS BIGINT) AS total_nan
+    FROM per GROUP BY label ORDER BY label
+    """,
+)
+def quality_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health audit per label: vector count, dim
+    consistency (min=max or the ANN/pack stages will crash later),
+    norm range (unit-normalized corpora must pin [1, 1] — a drifting
+    norm means a broken normalizer upstream), mean near-zero
+    coordinate count (dead dimensions / over-sparse vectors), and NaN
+    total. The embeddings-table sibling of the scalar-column audits
+    (null/cardinality/expectations) — ingest gates for the similarity
+    stack.
+
+    Plan: all per-vector statistics are Catalyst higher-order lambdas
+    (aggregate/filter) in the scan projection — no explode, the
+    label-bounded agg is the only shuffle. 100 TB: one pass, group
+    count = label cardinality."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nearzero = F.size(F.filter("embedding", lambda x: F.abs(x) < NEARZERO_EPS))
+    nan = F.size(F.filter("embedding", lambda x: F.isnan(x.cast("double"))))
+    per = emb.select(
+        "label",
+        F.sqrt(dot).alias("nrm"),
+        F.size("embedding").cast("long").alias("dim"),
+        nearzero.alias("n_nearzero"),
+        nan.alias("n_nan"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            _r4(F.min("nrm")).alias("min_norm"),
+            _r4(F.max("nrm")).alias("max_norm"),
+            _r4(F.avg("n_nearzero")).alias("avg_nearzero"),
+            F.sum("n_nan").alias("total_nan"),
+        )
+        .orderBy("label")
+    )

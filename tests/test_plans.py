@@ -328,3 +328,33 @@ def test_lateral_topk_decorrelated(spark):
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_round5_windows_are_partitioned(spark):
+    """The round-5 window queries (per-user feature matrix, per-shard
+    curriculum) must window WITH a partition spec — an empty
+    windowspecdefinition is the single-partition global sort this
+    suite bans everywhere (SCALE.md). Every windowspecdefinition in
+    the optimized plan must open with a partition column, never
+    directly with the ordering spec."""
+    import re
+
+    from pwir_zadanie_4_mapreduce_spark.operators.analytics import (
+        events_user_feature_matrix,
+    )
+    from pwir_zadanie_4_mapreduce_spark.operators.text import (
+        pipeline_curriculum_order,
+    )
+
+    for fn, part_col in (
+        (events_user_feature_matrix, "user_id"),
+        (pipeline_curriculum_order, "source"),
+    ):
+        plan = explain_str(fn(spark, SMOKE_SF), mode="extended")
+        specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+        assert specs, f"{fn.__name__}: no window found\n{plan}"
+        for first_arg in specs:
+            assert part_col in first_arg, (
+                f"{fn.__name__}: window not partitioned by {part_col}: "
+                f"{first_arg}"
+            )
