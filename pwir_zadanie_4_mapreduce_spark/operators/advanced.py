@@ -2040,3 +2040,4 @@ def sql_api_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_BFS_SQL)
+
