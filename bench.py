@@ -165,6 +165,7 @@ HEADLINE = [
     "sample_kfold_assignment",
     "pipeline_curriculum_order",
     "quality_embedding_audit",
+    "timeseries_lagged_crosscorr",
 ]
 
 

@@ -546,3 +546,67 @@ def timeseries_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type", "bucket")
     )
+
+
+XCORR_MAX_LAG = 7
+
+
+@register(
+    "timeseries_lagged_crosscorr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS buys
+        FROM events GROUP BY CAST(ts AS DATE)),
+    lags AS (SELECT CAST(l AS INTEGER) AS lag
+             FROM range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG} + 1) t(l))
+    SELECT g.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(corr(a.clicks, b.buys), 4) AS xcorr
+    FROM lags g
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.day = a.day + g.lag
+    GROUP BY g.lag ORDER BY g.lag
+    """,
+)
+def timeseries_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event-type daily series:
+    corr(clicks[t], purchases[t+lag]) for lag ∈ [-7, +7] — the
+    lead/lag discovery scan (does click volume PREDICT purchase
+    volume, and by how many days?). The lag with max |xcorr| is the
+    candidate causal offset; window_rolling_corr is the
+    contemporaneous sibling.
+
+    Plan: ONE events pass to the day grain (conditional sums — no
+    pivot, no second scan), then the day×lag alignment joins the
+    day-grain table against itself with the (2·MAXLAG+1)-row lag
+    table broadcast — every post-rollup frame is calendar-bounded, so
+    the whole lag sweep costs days × lags rows regardless of corpus
+    size. 100 TB: identical shape; corr partial-aggregates (sums of
+    x, y, xy, x², y²), so each lag group reduces map-side."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count_if(F.col("event_type") == "click").alias("clicks"),
+            F.count_if(F.col("event_type") == "purchase").alias("buys"),
+        )
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("a_day"), "clicks")
+    b = daily.select(F.col("day").alias("b_day"), "buys")
+    aligned = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("b_day = date_add(a_day, lag)"))
+    )
+    return (
+        aligned.groupBy("lag")
+        .agg(
+            F.count("*").alias("n_days"),
+            dround(F.corr("clicks", "buys"), 4).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )
