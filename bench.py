@@ -166,6 +166,7 @@ HEADLINE = [
     "pipeline_curriculum_order",
     "quality_embedding_audit",
     "timeseries_lagged_crosscorr",
+    "join_asof_nearest_event",
 ]
 
 
