@@ -167,6 +167,7 @@ HEADLINE = [
     "quality_embedding_audit",
     "timeseries_lagged_crosscorr",
     "join_asof_nearest_event",
+    "pipeline_temperature_mix",
 ]
 
 

@@ -482,3 +482,67 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+MIX_TEMPERATURE = 2.0  # 1/T = 0.5: the alpha-sampling exponent
+
+
+@register(
+    "pipeline_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source),
+    shares AS (
+        SELECT source, n_docs,
+               n_docs::DOUBLE / SUM(n_docs) OVER () AS p,
+               POWER(n_docs::DOUBLE / SUM(n_docs) OVER (),
+                     1.0 / {MIX_TEMPERATURE}) AS w
+        FROM counts)
+    SELECT source, n_docs,
+           ROUND(p, 6) AS natural_share,
+           ROUND(w / SUM(w) OVER (), 6) AS target_share,
+           ROUND((w / SUM(w) OVER ()) / p, 4) AS upsample_factor
+    FROM shares ORDER BY source
+    """,
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source balancing — the α-sampling rule of
+    multilingual/multi-source LM training: target share q_i ∝ p_i^(1/T)
+    (T=2 here), which upsamples tail sources and downsamples the head
+    without inverting the order. Complements pipeline_training_mix
+    (fixed hand-set rates): here the rates are COMPUTED from the
+    corpus histogram, the way mixture weights are actually derived;
+    feed target_share into the Knuth-hash keep-predicate to execute
+    the mix.
+
+    Plan: one source-bounded count, then every share/normalizer is a
+    window over the sources-cardinality cells table (the eventmix
+    cells-and-margins pattern) — a no-op-sized single stage at any
+    corpus size."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tot = Window.partitionBy()
+    p = F.col("n_docs").cast("double") / F.sum("n_docs").over(tot)
+    shares = counts.select(
+        "source",
+        "n_docs",
+        p.alias("p"),
+        F.pow(p, 1.0 / MIX_TEMPERATURE).alias("w"),
+    )
+    q = F.col("w") / F.sum("w").over(tot)
+    return (
+        shares.select(
+            "source",
+            "n_docs",
+            dround(F.col("p"), 6).alias("natural_share"),
+            dround(q, 6).alias("target_share"),
+            dround(q / F.col("p"), 4).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
