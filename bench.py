@@ -168,6 +168,8 @@ HEADLINE = [
     "timeseries_lagged_crosscorr",
     "join_asof_nearest_event",
     "pipeline_temperature_mix",
+    "text_feature_hashing",
+    "timeseries_cusum_changepoint",
 ]
 
 

@@ -981,3 +981,57 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "curriculum_rank")
     )
+
+
+FEATHASH_DIMS = 16
+FEATHASH_MAX_DOC = 100
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < {FEATHASH_MAX_DOC}),
+    hashed AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))
+               % {FEATHASH_DIMS} AS dim
+        FROM toks)
+    SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, dim
+    ORDER BY doc_id, dim
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer: every token maps to one of D=16
+    dimensions via an engine-portable hash (md5 256-bucket mod D) and
+    per-(doc, dim) counts form the sparse feature vector — the
+    no-vocabulary text featurizer (collisions and all) used when a
+    trained embedding model is overkill or unavailable. Doc subset
+    keeps the oracle frame small; the plan is subset-independent.
+
+    Plan: tokenize + hash are scan projections, one explode, one
+    (doc, dim)-keyed count — the same shuffle a vocab-based
+    bag-of-words needs, minus the vocabulary build and broadcast. At
+    100 TB: no model table to ship, dimensionality is a constant, and
+    the output is write-partitionable by dim for feature-store
+    layouts."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < FEATHASH_MAX_DOC)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    alphabet = F.lit("0123456789abcdef")
+    h = F.md5(F.col("tok"))
+    bucket = (F.instr(alphabet, F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(alphabet, F.substring(h, 2, 1)) - 1
+    )
+    return (
+        docs.select("doc_id", (bucket % FEATHASH_DIMS).cast("int").alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").alias("weight"))
+        .orderBy("doc_id", "dim")
+    )

@@ -610,3 +610,72 @@ def timeseries_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY CAST(ts AS DATE)),
+    centered AS (
+        SELECT day, n, n - AVG(n) OVER () AS dev
+        FROM daily),
+    summed AS (
+        SELECT day, n,
+               SUM(dev) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        FROM centered)
+    SELECT day,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(cusum, 4) AS cusum,
+           ROUND(abs(cusum), 4) = ROUND(MAX(abs(cusum)) OVER (), 4)
+               AS is_changepoint
+    FROM summed ORDER BY day
+    """,
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen over the daily event-count series:
+    the running sum of deviations from the global mean; the day where
+    |CUSUM| peaks is the classic single-change-point estimate (a level
+    shift flips the slope of the cumulative deviation there). The
+    batch sibling of a monitoring alert — complements the
+    pointwise z-score screen (timeseries_anomaly_zscore), which
+    misses gradual level shifts CUSUM is built for.
+
+    Plan: day-grain rollup (the only data-sized stage), then every
+    window — global mean, running sum, global max — runs over the
+    calendar-bounded daily table (hundreds of rows; the eventmix
+    cells-table argument). 100 TB: unchanged — day count is
+    data-independent."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    all_w = Window.partitionBy()
+    run_w = (
+        Window.partitionBy()
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    centered = daily.select(
+        "day", "n", (F.col("n") - F.avg("n").over(all_w)).alias("dev")
+    )
+    scored = centered.select(
+        "day",
+        F.col("n").alias("n_events"),
+        dround(F.sum("dev").over(run_w), 4).alias("cusum"),
+    )
+    peak = F.max(F.abs(F.col("cusum"))).over(Window.partitionBy())
+    return (
+        scored.select(
+            "day",
+            "n_events",
+            "cusum",
+            (F.abs(F.col("cusum")) == peak).alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )
