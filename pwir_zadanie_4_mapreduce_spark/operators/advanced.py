@@ -2042,85 +2042,91 @@ def sql_api_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_BFS_SQL)
 
 
-ASOF_NEAREST_HORIZON_S = 3 * 86400  # +/- 3 days
+
+ASOF_NEAREST_HORIZON_S = 3600  # +/- 1 hour
 
 
 @register(
     "join_asof_nearest_event",
     oracle=f"""
-    WITH o AS (
-        SELECT o_orderkey, o_custkey,
-               CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS ots
-        FROM orders WHERE o_custkey <= 200),
-    e AS (
-        SELECT user_id, event_id,
-               CAST(FLOOR(epoch(ts)) AS BIGINT) AS ets
-        FROM events),
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS pts
+        FROM events WHERE event_type = 'purchase'),
+    c AS (
+        SELECT event_id AS click_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS cts
+        FROM events WHERE event_type = 'click'),
     cand AS (
-        SELECT o.o_orderkey, o.o_custkey, e.event_id,
-               e.ets - o.ots AS offset_s,
-               abs(e.ets - o.ots) AS adist,
-               e.ets
-        FROM o JOIN e ON e.user_id = o.o_custkey
-                     AND abs(e.ets - o.ots) <= {ASOF_NEAREST_HORIZON_S})
-    SELECT o_orderkey, o_custkey, event_id,
+        SELECT p.purchase_id, p.user_id, c.click_id,
+               c.cts - p.pts AS offset_s,
+               abs(c.cts - p.pts) AS adist,
+               c.cts
+        FROM p JOIN c ON c.user_id = p.user_id
+                     AND abs(c.cts - p.pts) <= {ASOF_NEAREST_HORIZON_S})
+    SELECT purchase_id, user_id, click_id,
            CAST(offset_s AS BIGINT) AS offset_s
     FROM cand
     QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY o_orderkey ORDER BY adist, ets, event_id) = 1
-    ORDER BY o_orderkey
+        PARTITION BY purchase_id ORDER BY adist, cts, click_id) = 1
+    ORDER BY purchase_id
     """,
 )
 def join_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of join — the bidirectional sibling of
-    join_asof_last_event_before_order: each order is matched to the
-    customer's event closest in time in EITHER direction, within a
-    ±3-day horizon (sensor/label alignment semantics: 'the reading
-    nearest the inspection'). The horizon is what makes nearest-asof
-    scale-safe — unbounded nearest would force a full per-key search;
-    bounded, the candidate set is the per-key event density times a
-    constant window, and orders with nothing in the horizon drop out
-    (declared inner semantics).
+    join_asof_last_event_before_order: each purchase is matched to the
+    same user's click closest in time in EITHER direction, within a
+    ±1-hour horizon (attribution/sensor alignment semantics: 'the
+    interaction nearest the conversion', which last-touch misses when
+    the nearest signal comes just AFTER). The horizon is what makes
+    nearest-asof scale-safe — unbounded nearest would force a full
+    per-key search; bounded, the candidate set is per-key event
+    density × a constant window, and purchases with nothing in the
+    horizon drop out (declared inner semantics).
 
-    Plan: ONE user-keyed equi-join (co-partitioned) with the horizon
-    as a post-join filter, then min_by over the (|Δt|, ts, event_id)
-    ordering struct picks the winner per order — no window, no second
-    shuffle beyond the order-grain agg. Timestamps compare at second
-    grain on BOTH engines (unix_timestamp vs FLOOR(epoch)), so the
-    tie-break chain is engine-identical."""
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") <= 200)
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.unix_timestamp("o_orderdate").alias("ots"),
-        )
+    Plan: ONE user-keyed equi-join (co-partitioned; both sides are
+    event-type scan filters, no second pass) with the horizon as a
+    post-join filter, then min_by over the (|Δt|, ts, event_id)
+    ordering struct picks the winner per purchase — no window, no
+    shuffle beyond the purchase-grain agg. Timestamps compare at
+    second grain on BOTH engines (unix_timestamp vs FLOOR(epoch)), so
+    the tie-break chain is engine-identical."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
     )
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("ets")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("sec").alias("pts")
     )
-    cand = orders.join(
-        events,
-        (F.col("o_custkey") == F.col("user_id"))
-        & (F.abs(F.col("ets") - F.col("ots")) <= ASOF_NEAREST_HORIZON_S),
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("sec").alias("cts"),
     )
-    adist = F.abs(F.col("ets") - F.col("ots"))
+    cand = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.abs(F.col("cts") - F.col("pts")) <= ASOF_NEAREST_HORIZON_S),
+    )
+    adist = F.abs(F.col("cts") - F.col("pts"))
     pick = F.min_by(
         F.struct(
-            F.col("event_id").alias("event_id"),
-            (F.col("ets") - F.col("ots")).alias("offset_s"),
+            F.col("click_id").alias("click_id"),
+            (F.col("cts") - F.col("pts")).alias("offset_s"),
         ),
-        F.struct(adist.alias("adist"), F.col("ets").alias("ets"), F.col("event_id").alias("event_id")),
+        F.struct(
+            adist.alias("adist"),
+            F.col("cts").alias("cts"),
+            F.col("click_id").alias("click_id"),
+        ),
     )
     return (
-        cand.groupBy("o_orderkey", "o_custkey")
-        .agg(pick.alias("p"))
+        cand.groupBy("purchase_id", "user_id")
+        .agg(pick.alias("w"))
         .select(
-            "o_orderkey",
-            "o_custkey",
-            F.col("p.event_id").alias("event_id"),
-            F.col("p.offset_s").cast("bigint").alias("offset_s"),
+            "purchase_id",
+            "user_id",
+            F.col("w.click_id").alias("click_id"),
+            F.col("w.offset_s").cast("bigint").alias("offset_s"),
         )
-        .orderBy("o_orderkey")
+        .orderBy("purchase_id")
     )
