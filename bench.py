@@ -29,7 +29,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "join_range_ship_delay",
-    "join_asof_last_event_before_order",
+    "join_asof_last_click_before_purchase",
     "join_salted_order_revenue",
     "subquery_scalar_small_qty",
     "agg_grouping_sets",

@@ -191,66 +191,72 @@ def subquery_in_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_asof_last_event_before_order",
+    "join_asof_last_click_before_purchase",
     oracle="""
-    SELECT o.o_orderkey,
-           e.event_id AS last_event_id,
-           e.ts       AS last_event_ts
-    FROM orders o
-    ASOF LEFT JOIN events e
-      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
-    WHERE o.o_custkey <= 200
-    ORDER BY o.o_orderkey
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS last_click_id,
+           c.ts       AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    ORDER BY purchase_id
     """,
 )
-def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of (point-in-time) join: for each order, the latest event of
-    the same user at-or-before the order date. Composed from existing
-    ops (SURVEY brief: composition first, Pandas UDF only if needed):
-    union both sides tagged, one window sort per key carries the most
-    recent event forward, then keep the order rows.
+def join_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: for each purchase, the same user's
+    latest click at-or-before it (LEFT: first-session purchases keep a
+    NULL click). Composed from existing ops (SURVEY brief: composition
+    first, Pandas UDF only if needed): union both sides tagged, one
+    window sort per key carries the most recent click forward, then
+    keep the purchase rows.
+
+    (Round-5 realignment: through round 4 this op asof-joined orders
+    — whose dates span 1995-2001 — against events timestamped 2024,
+    so every probe row matched NULL and the oracle compare was
+    vacuously green. Same plan, overlapping domains now; the NULL
+    path is still exercised by purchases with no prior click.)
 
     100 TB note: this is ONE shuffle on (key, ts) — the naive
     range-join + groupBy-max double-shuffles and explodes matches
-    (every earlier event per order) before collapsing them. The
+    (every earlier click per purchase) before collapsing them. The
     union-window form never materializes the cross product; skew on a
     hot user is bounded by that user's own rows.
 
-    Ties: events at exactly the order timestamp count (<=), matching
-    DuckDB ASOF with <=; within the union, side=0 (event) sorts before
-    side=1 (order) at equal ts so last_value sees the tying event."""
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    Ties: clicks at exactly the purchase timestamp count (<=),
+    matching DuckDB ASOF with <=; within the union, side=0 (click)
+    sorts before side=1 (purchase) at equal ts so last_value sees the
+    tying click."""
     events = load_table(spark, sf_dir, "events")
 
-    left = orders.select(
-        F.col("o_custkey").alias("key"),
-        F.col("o_orderdate").alias("ts"),
+    left = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"),
+        "ts",
         F.lit(1).alias("side"),
-        F.col("o_orderkey"),
-        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
     )
-    right = events.select(
+    right = events.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("key"),
         "ts",
         F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-        "event_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("click_id"),
     )
     w = (
         Window.partitionBy("key")
-        # event_id as final tie-break keeps the pick deterministic if
-        # a user ever has two events at the same timestamp (none in
+        # click_id as final tie-break keeps the pick deterministic if
+        # a user ever has two clicks at the same timestamp (none in
         # the fixtures, but determinism must not be data-dependent)
-        .orderBy("ts", "side", "event_id")
+        .orderBy("ts", "side", "click_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = left.unionByName(right).withColumn(
-        "last_event_id", F.last("event_id", ignorenulls=True).over(w)
-    ).withColumn("last_event_ts", F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w))
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    ).withColumn("last_click_ts", F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w))
     return (
         merged.filter(F.col("side") == 1)
-        .select("o_orderkey", "last_event_id", "last_event_ts")
-        .orderBy("o_orderkey")
+        .select("purchase_id", "last_click_id", "last_click_ts")
+        .orderBy("purchase_id")
     )
 
 
@@ -2074,7 +2080,7 @@ ASOF_NEAREST_HORIZON_S = 3600  # +/- 1 hour
 )
 def join_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of join — the bidirectional sibling of
-    join_asof_last_event_before_order: each purchase is matched to the
+    join_asof_last_click_before_purchase: each purchase is matched to the
     same user's click closest in time in EITHER direction, within a
     ±1-hour horizon (attribution/sensor alignment semantics: 'the
     interaction nearest the conversion', which last-touch misses when

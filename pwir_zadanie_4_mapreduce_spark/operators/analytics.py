@@ -951,7 +951,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     """Last-touch attribution: each purchase credited to the user's
     most recent click within a 7-day lookback — the marketing-
     analytics as-of variant with a recency bound. Same union+window
-    single-shuffle plan as join_asof_last_event_before_order; the
+    single-shuffle plan as join_asof_last_click_before_purchase; the
     lookback is a post-filter on the carried-forward click timestamp
     (purchases whose last click is older than the window are dropped,
     matching the oracle's WHERE on the ASOF result).

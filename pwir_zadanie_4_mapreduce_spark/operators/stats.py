@@ -888,7 +888,7 @@ def cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks the latest at-or-before event — the API for per-key logic
     that genuinely needs imperative code (curve interpolation, model
     scoring). Same semantics (and same oracle) as the pure-DataFrame
-    join_asof_last_event_before_order, which is the preferred plan;
+    join_asof_last_click_before_purchase, which is the preferred plan;
     this exists to cover the cogroup boundary end-to-end.
 
     100 TB note: one shuffle per side on the key (exactly what the

@@ -63,10 +63,10 @@ def test_asof_join_is_join_free(spark):
     """The as-of operator must compile to union + one window pass —
     no join operator, no cartesian product, no pair explosion."""
     from pwir_zadanie_4_mapreduce_spark.operators.advanced import (
-        join_asof_last_event_before_order,
+        join_asof_last_click_before_purchase,
     )
 
-    plan = explain_str(join_asof_last_event_before_order(spark, SMOKE_SF))
+    plan = explain_str(join_asof_last_click_before_purchase(spark, SMOKE_SF))
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "Cartesian"):
         assert bad not in plan, f"as-of plan contains {bad}"
     assert "Window" in plan
