@@ -871,25 +871,27 @@ def warehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cogroup_asof_merge",
     oracle="""
-    SELECT o.o_orderkey,
-           e.event_id AS last_event_id,
-           e.ts       AS last_event_ts
-    FROM orders o
-    ASOF LEFT JOIN events e
-      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
-    WHERE o.o_custkey <= 200
-    ORDER BY o.o_orderkey
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS last_click_id,
+           c.ts       AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    ORDER BY purchase_id
     """,
 )
 def cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via the COGROUPED pandas surface:
-    groupBy(key).cogroup(...).applyInPandas aligns each customer's
-    orders with their events in one Arrow batch and pandas merge_asof
-    picks the latest at-or-before event — the API for per-key logic
-    that genuinely needs imperative code (curve interpolation, model
-    scoring). Same semantics (and same oracle) as the pure-DataFrame
-    join_asof_last_click_before_purchase, which is the preferred plan;
-    this exists to cover the cogroup boundary end-to-end.
+    groupBy(key).cogroup(...).applyInPandas aligns each user's
+    purchases with their clicks in one Arrow batch and pandas
+    merge_asof picks the latest at-or-before click — the API for
+    per-key logic that genuinely needs imperative code (curve
+    interpolation, model scoring). Same semantics (and same oracle)
+    as the pure-DataFrame join_asof_last_click_before_purchase, which
+    is the preferred plan; this exists to cover the cogroup boundary
+    end-to-end. (Round-5 realignment: the probe side was orders,
+    whose 1995-2001 dates never intersect the 2024 event timestamps —
+    every probe matched NULL; see the window variant's note.)
 
     100 TB note: one shuffle per side on the key (exactly what the
     union-window form pays); per-key state is that key's rows only.
@@ -897,49 +899,41 @@ def cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing with the window variant."""
     import pandas as pd
 
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") <= 200)
-        .select("o_custkey", "o_orderkey", "o_orderdate")
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
     )
-    # mirror the key predicate on the events side: keys outside the
-    # orders filter can only produce empty left groups (dropped by the
-    # merge), so pruning them BEFORE the cogroup shuffle is semantics-
-    # preserving and cuts the Arrow/pandas volume to the keys that
-    # matter — the join-key pushdown every cogroup pipeline should do.
-    events = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") <= 200)
-        .select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
             return pd.DataFrame(
-                {"o_orderkey": pd.Series(dtype="int64"),
-                 "last_event_id": pd.Series(dtype="Int64"),
-                 "last_event_ts": pd.Series(dtype="datetime64[us]")}
+                {"purchase_id": pd.Series(dtype="int64"),
+                 "last_click_id": pd.Series(dtype="Int64"),
+                 "last_click_ts": pd.Series(dtype="datetime64[us]")}
             )
-        left = left.sort_values("o_orderdate")
-        right = right.sort_values(["ts", "event_id"])
+        left = left.sort_values("ts")
+        right = right.sort_values(["cts", "click_id"])
         merged = pd.merge_asof(
-            left, right, left_on="o_orderdate", right_on="ts", direction="backward"
+            left, right, left_on="ts", right_on="cts", direction="backward"
         )
         return pd.DataFrame(
             {
-                "o_orderkey": merged["o_orderkey"],
-                "last_event_id": merged["event_id"].astype("Int64"),
-                "last_event_ts": merged["ts"],
+                "purchase_id": merged["purchase_id"],
+                "last_click_id": merged["click_id"].astype("Int64"),
+                "last_click_ts": merged["cts"],
             }
         )
 
     return (
-        orders.groupBy("o_custkey")
-        .cogroup(events.groupBy("user_id"))
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
         .applyInPandas(
-            merge, "o_orderkey bigint, last_event_id bigint, last_event_ts timestamp"
+            merge, "purchase_id bigint, last_click_id bigint, last_click_ts timestamp"
         )
-        .orderBy("o_orderkey")
+        .orderBy("purchase_id")
     )
 
 

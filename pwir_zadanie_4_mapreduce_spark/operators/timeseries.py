@@ -100,22 +100,30 @@ RANGE_MONTH = "1995-03"
     oracle=f"""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(SUM(e.value), 4) AS total_value
-    FROM orders o JOIN events e
-      ON CAST(e.ts AS DATE) >= CAST(o.o_orderdate AS DATE)
-     AND CAST(e.ts AS DATE) <= CAST(o.o_orderdate AS DATE) + {RANGE_SPAN_DAYS}
+           ROUND(SUM(l.l_extendedprice), 4) AS total_value
+    FROM orders o JOIN lineitem l
+      ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+     AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + {RANGE_SPAN_DAYS}
     WHERE strftime(o.o_orderdate, '%Y-%m') = '{RANGE_MONTH}'
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
     """,
 )
 def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure range join (NO equi key: every order vs every event, kept
-    when the event date falls in the order's 2-day window) executed
-    with the BINNED plan: both sides bucket time into fixed 4-day
-    bins, the interval side explodes into the <=2 bins it touches,
-    and the join becomes an equi hash join on the bin plus a residual
-    date filter. Each matching pair meets in exactly one bin (the
-    point side's), so no dedup pass is needed.
+    """Pure range join (NO equi key: every order vs every shipped
+    lineitem — any order's, not just its own — kept when the ship
+    date falls in the order's 2-day window: 'shipping volume booked
+    while this order was placed') executed with the BINNED plan: both
+    sides bucket time into fixed 4-day bins, the interval side
+    explodes into the <=2 bins it touches, and the join becomes an
+    equi hash join on the bin plus a residual date filter. Each
+    matching pair meets in exactly one bin (the point side's), so no
+    dedup pass is needed.
+
+    (Round-5 realignment: through round 4 the point side was the
+    events table, whose timestamps — Jan 2024 — never intersect the
+    1995-2001 order dates, so the join matched ZERO pairs and the
+    oracle compare was vacuously green. Same plan, lineitem ship
+    dates now: tens of matched pairs per order.)
 
     Without this rewrite Spark plans a broadcast-nested-loop join —
     O(|orders| x |events|) comparisons; the binned plan is
@@ -142,16 +150,16 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    events = (
-        load_table(spark, sf_dir, "events")
-        .select(F.to_date("ts").alias("ed"), "value")
+    points = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.to_date("l_shipdate").alias("ed"), F.col("l_extendedprice").alias("value"))
         .withColumn("bin", F.floor(F.datediff("ed", epoch) / RANGE_BIN_DAYS))
     )
     # the interval side is a one-month slice of orders — broadcast it so
-    # the (unbounded) event stream side never shuffles; at 100 TB with an
+    # the (unbounded) point side never shuffles; at 100 TB with an
     # unselective interval side, drop the hint: the bin equi-key still
     # gives a shuffled hash join instead of a nested loop.
-    matched = F.broadcast(o_binned).join(events, "bin").filter(
+    matched = F.broadcast(o_binned).join(points, "bin").filter(
         (F.col("ed") >= F.col("od"))
         & (F.col("ed") <= F.date_add("od", RANGE_SPAN_DAYS))
     )
