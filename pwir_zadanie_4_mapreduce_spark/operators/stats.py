@@ -874,8 +874,10 @@ def warehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.event_id AS purchase_id,
            c.event_id AS last_click_id,
            c.ts       AS last_click_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND user_id < 300) p
+    ASOF LEFT JOIN (SELECT * FROM events
+          WHERE event_type = 'click' AND user_id < 300) c
       ON p.user_id = c.user_id AND c.ts <= p.ts
     ORDER BY purchase_id
     """,
@@ -899,7 +901,10 @@ def cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing with the window variant."""
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events")
+    # user subset: this is the declared Python-slow-path surface demo
+    # (the window variant is the preferred full-corpus plan) — the
+    # bound keeps the pandas cost a demo, not a bench-dominating pass
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), "ts"
     )
