@@ -2,7 +2,8 @@
 
 Completes the TPC-H-derived coverage: Q1/Q3/Q4/Q5/Q6/Q10/Q12/Q14/Q19
 live in relational.py / advanced.py; this module adds the shapes of
-Q2, Q7, Q8, Q9, Q11, Q13, Q15, Q16, Q20, Q21 and Q22, each adapted to
+Q2, Q7, Q8, Q9, Q11, Q13, Q15, Q16, Q17, Q18, Q20, Q21 and Q22 —
+completing all 22 — each adapted to
 the fixture star schema (TESTDATA.md — no partsupp table, no
 commit/receipt dates, no phone numbers; the adaptation per query is
 documented in its docstring).
@@ -647,4 +648,127 @@ def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.sum("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — small-quantity-order revenue (correlated AVG de-correlated)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH pp AS (
+        SELECT p_partkey, p_brand FROM part
+        WHERE p_brand IN ('Brand#21','Brand#22','Brand#23','Brand#24','Brand#25')),
+    lf AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice, pp.p_brand
+        FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey),
+    av AS (
+        SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
+        FROM lf GROUP BY l_partkey)
+    SELECT lf.p_brand,
+           ROUND(SUM(lf.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lf JOIN av ON lf.l_partkey = av.l_partkey
+    WHERE lf.l_quantity < av.qty_cut
+    GROUP BY lf.p_brand
+    ORDER BY lf.p_brand
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) were not taken. The
+    correlated `l_quantity < (SELECT 0.2*AVG ... WHERE l_partkey =
+    p_partkey)` de-correlates into one per-partkey AVG + equi-join
+    back. Adapted: a 5-brand group-by replaces the single
+    brand+container scalar (no p_container column; per-brand rows make
+    the oracle hash check non-trivial).
+
+    Scale: the brand subset of part is filtered FIRST and broadcast,
+    so lineitem is pruned to matching partkeys in the scan-side join
+    before the per-part AVG — the textbook plan computes AVG over ALL
+    of lineitem; this one only over the ~0.2% that can match. The AVG
+    frame is per-part (small) and broadcast back; zero fact-fact
+    shuffles. The cut threshold is bit-identical cross-engine:
+    integral-valued quantities sum exactly in doubles, so AVG and
+    0.2*AVG are exact same-input same-op on both sides."""
+    pp = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(
+            "Brand#21", "Brand#22", "Brand#23", "Brand#24", "Brand#25"
+        )
+    ).select("p_partkey", "p_brand")
+    lf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    av = lf.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        lf.join(F.broadcast(av), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .groupBy("p_brand")
+        .agg(_r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape — large-volume customers (HAVING subquery + join-back top-k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 200)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 4) AS o_totalprice,
+           ROUND(big.total_qty, 4)  AS total_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers whose orders exceed a total-quantity
+    threshold — the HAVING-subquery-IN-join shape, threshold adapted
+    to the fixture's quantity distribution (>200 keeps ~1.5% of
+    orders). Top-100 by price with o_orderkey as the deterministic
+    tie-break (the spec's o_orderdate tie-break is not total).
+
+    Scale: sum-per-order is a map-side-combinable agg over lineitem
+    (the only fact shuffle, carrying (orderkey, qty) pairs); the
+    surviving ~1.5% joins orders on the orderkey — AQE picks
+    broadcast when the filtered side fits, else it is an equi-shuffle
+    on the same key the agg just produced. customer is a broadcast
+    dim. The LIMIT is a TakeOrderedAndProject: per-partition top-100,
+    never a global sort."""
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            _r4(F.col("o_totalprice")).alias("o_totalprice"),
+            _r4(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
     )
