@@ -358,3 +358,57 @@ def test_round5_windows_are_partitioned(spark):
                 f"{fn.__name__}: window not partitioned by {part_col}: "
                 f"{first_arg}"
             )
+
+
+def test_registry_wide_plan_lint(spark):
+    """Every registered query's plan, linted for the three structural
+    scale-killers (the fence that keeps future additions honest):
+
+    1. CartesianProduct: banned outright — even the declared dim×dim
+       pair query must plan as a broadcast nested-loop, never a
+       shuffle cartesian.
+    2. Row-wise Python evaluation (BatchEvalPython*): only the two
+       DECLARED slow-path surface demos (the rowwise-UDF comparison
+       query and the Python UDTF, which has no JVM spelling).
+    3. Unpartitioned (global) windows: only queries whose window input
+       is provably bounded — per-group AGGREGATE frames (gini/pareto/
+       yoy/backlog/compaction/ks/cusum/rfm run over per-customer,
+       per-month, per-day, per-file or per-bin rollups), or top-k
+       capped vocab (pmi, zipf). Each data-sized exact form has a
+       window-free `*_binned` sibling (test above). A NEW global
+       window anywhere else is a single-partition sort at 100 TB and
+       fails here.
+    """
+    import re
+
+    from pwir_zadanie_4_mapreduce_spark.operators.registry import QUERIES
+
+    PY_EVAL_OK = {"udf_python_rowwise_priority", "udtf_tokenize_positions"}
+    GLOBAL_WINDOW_OK = {
+        "agg_equidepth_histogram",       # per-value counts; binned sibling
+        "events_rfm_segments",           # per-user aggregate; binned sibling
+        "orders_open_backlog_daily",     # per-day delta table
+        "orders_yoy_revenue",            # per-month rollup
+        "stats_gini_revenue",            # per-customer aggregate; binned sibling
+        "stats_ks_test",                 # per-quantile grid
+        "stats_pareto_revenue_share",    # per-customer aggregate; binned sibling
+        "text_collocation_pmi",          # top-100 vocab pairs
+        "text_zipf_fit",                 # top-k vocab ranks
+        "timeseries_cusum_changepoint",  # daily series
+        "warehouse_compaction_plan",     # file-metadata rows
+    }
+
+    violations: list[str] = []
+    for name in sorted(QUERIES):
+        plan = explain_str(QUERIES[name](spark, SMOKE_SF), mode="extended")
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan and name not in PY_EVAL_OK:
+            violations.append(f"{name}: row-wise Python eval")
+        if name not in GLOBAL_WINDOW_OK:
+            for spec in re.findall(r"windowspecdefinition\((.*?)\)", plan):
+                first = spec.split(",")[0].strip()
+                if "ASC" in first or "DESC" in first:
+                    violations.append(f"{name}: global window ({first})")
+                    break
+    assert not violations, "\n".join(violations)
