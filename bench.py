@@ -28,6 +28,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
     "join_range_ship_delay",
     "join_asof_last_click_before_purchase",
     "join_salted_order_revenue",
