@@ -501,15 +501,27 @@ def join_interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_users")  # rows-only: sketch estimates are library-specific
+@register(
+    "agg_hll_sketch_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_in_band
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches — THE 100 TB cardinality
     pattern: one HLL sketch per (event_type, day) partition, merged
     per type with hll_union_agg, estimated once. Re-aggregating
-    pre-computed daily sketches replaces a full re-scan; the estimate
-    is checked against the exact distinct count (rel_err asserted
-    < 5% in tests/test_analytics.py — Datasketches HLL at lgK=12 has
-    ~1.6% RSE)."""
+    pre-computed daily sketches replaces a full re-scan.
+
+    Bracket oracle (the agg_approx_distinct_users technique): the
+    Datasketches estimate has no DuckDB twin, so the query emits the
+    EXACT distinct (hash-compared cross-engine) plus a boolean
+    asserting the merged-sketch estimate lands within 5 % (lgK=12 ≈
+    1.6 % RSE, so >3σ; measured ≤1.5 % at sf0.001–sf1 — deterministic
+    for fixed data)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("d"), "user_id"
     )
@@ -526,13 +538,11 @@ def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.join(exact, "event_type")
         .select(
             "event_type",
-            "est_users",
             "exact_users",
-            dround(
+            (
                 F.abs(F.col("est_users") - F.col("exact_users"))
-                / F.col("exact_users").cast("double"),
-                4,
-            ).alias("rel_err"),
+                <= F.col("exact_users").cast("double") * F.lit(0.05)
+            ).alias("est_in_band"),
         )
         .orderBy("event_type")
     )
@@ -892,14 +902,30 @@ def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("event_type", "d")
 
 
-@register("agg_hll_intersection")  # rows-only: sketch estimates are library-specific
+@register(
+    "agg_hll_intersection",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection,
+           TRUE AS est_in_band
+    FROM (
+        SELECT user_id FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id
+        HAVING COUNT(DISTINCT event_type) = 2)
+    """,
+)
 def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap estimation from MERGEABLE sketches: distinct
     users doing 'click' AND 'purchase' estimated by inclusion-
     exclusion — |A∩B| ≈ |A| + |B| − |A∪B| — where every term is an
     HLL estimate and the union comes from hll_union of the two
-    per-type sketches, NOT a re-scan. Checked against the exact
-    intersection (rel-err asserted in tests/test_analytics.py).
+    per-type sketches, NOT a re-scan.
+
+    Bracket oracle: the estimate has no DuckDB twin, so the query
+    emits the EXACT intersection plus a boolean asserting the
+    inclusion-exclusion estimate lands within 10 % (compounds the
+    ~1.6 % RSE of three estimates; measured ≤1.5 % at sf0.001–sf1 —
+    deterministic for fixed data).
 
     100 TB note: this is why sketch stores exist — any pairwise
     overlap across pre-computed per-segment sketches is answerable in
@@ -925,9 +951,14 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         est.crossJoin(F.broadcast(exact_inter))
         .select(
-            (F.col("sum_each") - F.col("est_union")).cast("long").alias("est_intersection"),
-            F.col("est_union").cast("long").alias("est_union"),
             "exact_intersection",
+            (
+                F.abs(
+                    (F.col("sum_each") - F.col("est_union"))
+                    - F.col("exact_intersection")
+                )
+                <= F.col("exact_intersection").cast("double") * F.lit(0.10)
+            ).alias("est_in_band"),
         )
     )
 

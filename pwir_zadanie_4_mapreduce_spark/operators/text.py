@@ -280,25 +280,45 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_fingerprint")  # rows-only: engine-specific hash (xxhash64)
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   range(1, greatest(len(text) - 7, 1) + 1),
+                   i -> md5(text[i:i+7])))) AS h
+        FROM documents)
+    SELECT doc_id,
+           h[1] AS min_gram_hash,
+           h[-1] AS max_gram_hash,
+           array_to_string(h[1:4], ',') AS min_sketch,
+           CAST(len(h) AS INTEGER) AS n_distinct_grams
+    FROM t ORDER BY doc_id
+    """,
+)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint: min/max xxhash64 over
-    character 8-grams (winnowing-style min-sketch, k=4 smallest).
+    """Rolling-hash document fingerprint: min/max hash over character
+    8-grams (winnowing-style min-sketch, k=4 smallest).
 
     Deterministic across runs and partitionings; used for cheap
-    containment/near-dup pre-screening at scale."""
+    containment/near-dup pre-screening at scale. Hash is md5 (hex) —
+    bit-identical in DuckDB, which makes the whole fingerprint
+    oracle-checkable (the count-min/bloom precedent); at 100 TB the
+    one-line swap to xxhash64 halves the hashing cost with identical
+    plan shape."""
     from pwir_zadanie_4_mapreduce_spark.catalog import spread
 
     docs = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     grams = char_ngrams(F.col("text"), 8)
-    hashes = F.array_sort(F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))))
+    hashes = F.array_sort(F.array_distinct(F.transform(grams, lambda g: F.md5(g))))
     return docs.select(
         "doc_id",
         F.element_at(hashes, 1).alias("min_gram_hash"),
         F.element_at(hashes, -1).alias("max_gram_hash"),
-        F.array_join(F.slice(hashes, 1, 4).cast("array<string>"), ",").alias("min_sketch"),
+        F.array_join(F.slice(hashes, 1, 4), ",").alias("min_sketch"),
         F.size(hashes).alias("n_distinct_grams"),
     ).orderBy("doc_id")
 
