@@ -87,7 +87,11 @@ HEADLINE = [
     "timeseries_ewma",
     "timeseries_anomaly_zscore",
     "stats_bootstrap_se",
-    "agg_weighted_median",
+    # agg_weighted_median (exact, in-group sort, sf1 slope 0.98) left
+    # registered + oracled but off the headline bench — the binned
+    # bracket below (slope 0.01) is the spelling you'd ship at 100 TB
+    # (round-5 verdict #3); test_properties pins the bracket contains
+    # the exact value.
     "pipeline_training_mix",
     "text_redact_denylist",
     "sim_topk_pq",
@@ -192,13 +196,32 @@ def _multifile_dir(spark, src_dir: str) -> tuple[str, str]:
     base = os.path.basename(src_dir.rstrip("/"))
     dst = os.path.join(REPO_ROOT, ".fixtures", "multifile", base)
     marker = os.path.join(dst, "_COMPLETE")
-    if not os.path.exists(marker):
+    # The marker records a fingerprint of the SOURCE layout (per-file
+    # size+mtime) and the files parameter; a cached fixture built from
+    # different source rows or a different fan-out is rebuilt instead
+    # of silently measured (round-5 ADVICE).
+    files = 32
+    fp_parts = [f"files={files}"]
+    for name in sorted(os.listdir(src_dir)):
+        p = os.path.join(src_dir, name)
+        if os.path.isfile(p):
+            st = os.stat(p)
+            fp_parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+    fingerprint = "\n".join(fp_parts) + "\n"
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read() != fingerprint
+    if stale:
         try:
+            import shutil
+
             from tools.make_fixtures import multifile
 
-            multifile(spark, src_dir, dst, files=32)
+            shutil.rmtree(dst, ignore_errors=True)
+            multifile(spark, src_dir, dst, files=files)
             with open(marker, "w") as fh:
-                fh.write("ok\n")
+                fh.write(fingerprint)
         except Exception as exc:  # noqa: BLE001 - bench must still run
             print(f"multifile materialization failed ({exc}); "
                   f"benching single-file layout", file=sys.stderr)

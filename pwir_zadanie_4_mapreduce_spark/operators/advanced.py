@@ -560,6 +560,95 @@ def join_salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_HOT_THRESHOLD = 7  # fact rows per key ⇒ "hot" (fixture: top ~1/7 of orders)
+
+
+@register(
+    "join_skew_aqe_order_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_skew_aqe_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION skew-join spelling (round-5 verdict #2): salt ONLY
+    keys above a frequency threshold, not every key. The manual demo
+    (join_salted_order_revenue) replicates the ENTIRE dim side
+    n_salt× — slope 0.91 at sf1 because the replication grows with
+    the dim. Here:
+
+      1. hot-key detection: one narrow groupBy-count on the fact key
+         (map-side combinable; at 100 TB run it on a 1% sample with a
+         scaled threshold — detection only needs the heavy hitters,
+         and a missed borderline key just joins unsalted, still
+         correct);
+      2. the hot-key set is broadcast (true skew means FEW hot keys —
+         that is what makes them hot);
+      3. fact rows with hot keys get a row-level salt in [0, n); cold
+         rows salt 0;
+      4. dim rows replicate n× ONLY for hot keys; cold dim rows ship
+         once with salt 0.
+
+    Result ≡ the plain join (every (key, salt) pair on the fact side
+    meets exactly one dim row). Dim inflation is O(n·|hot|), not
+    O(n·|dim|). This is the hand-rolled form of what AQE's
+    skewJoin.enabled does at runtime (split oversized shuffle
+    partitions); spelled out so the technique is plan-testable and
+    works for the patterns AQE skew handling does not cover
+    (aggregations, outer-join sides)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hot = (
+        li.groupBy("l_orderkey")
+        .count()
+        .filter(F.col("count") >= _SKEW_HOT_THRESHOLD)
+        .select(F.col("l_orderkey").alias("hot_key"))
+    )
+    sf = (
+        li.join(F.broadcast(hot), li["l_orderkey"] == hot["hot_key"], "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("hot_key").isNotNull(),
+                F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("hot_key")
+    )
+    sd = (
+        orders.join(F.broadcast(hot), orders["o_orderkey"] == hot["hot_key"], "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("hot_key").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(_SALT - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("hot_key")
+    )
+    joined = sf.join(
+        sd,
+        (sf["l_orderkey"] == sd["o_orderkey"]) & (sf["__salt"] == sd["__salt"]),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @register(
     "window_first_last_value",
     oracle="""

@@ -614,7 +614,16 @@ def timeseries_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         aligned.groupBy("lag")
         .agg(
             F.count("*").alias("n_days"),
-            dround(F.corr("clicks", "buys"), 4).alias("xcorr"),
+            # Spark's corr yields NaN for a single-pair or
+            # zero-variance lag group where DuckDB's corr yields NULL;
+            # nullify NaN so the oracle compare stays scale-invariant
+            # (round-5 ADVICE — green today only because no fixture
+            # produces a constant daily series at any lag).
+            dround(
+                F.when(F.isnan(F.corr("clicks", "buys")), F.lit(None))
+                .otherwise(F.corr("clicks", "buys")),
+                4,
+            ).alias("xcorr"),
         )
         .orderBy("lag")
     )

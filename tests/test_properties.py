@@ -113,6 +113,32 @@ def test_salted_join_heavy_skew_equals_plain(spark):
     assert hot_salts >= 6, f"hot key only hit {hot_salts}/8 salts"
 
 
+def test_binned_weighted_median_brackets_exact(spark):
+    """The binned bracket (the 100 TB headline spelling, sf1 slope
+    0.01) must CONTAIN the exact weighted median (the oracle-of-record
+    spelling, slope 0.98) for every group: the per-row cumulative walk
+    and the per-bin cumulative walk cross half-total inside the same
+    value bin, so exact ∈ [lo_b, hi_b]. This is the exactness
+    tolerance that justifies benching the binned plan as the default
+    (round-5 verdict #3)."""
+    from pwir_zadanie_4_mapreduce_spark.operators.binned import (
+        agg_weighted_median_binned,
+    )
+    from pwir_zadanie_4_mapreduce_spark.operators.stats import agg_weighted_median
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["l_returnflag"]: r["weighted_median"]
+             for r in agg_weighted_median(spark, sf).collect()}
+    binned = {r["l_returnflag"]: (r["weighted_median_lo"], r["weighted_median_hi"])
+              for r in agg_weighted_median_binned(spark, sf).collect()}
+    assert set(exact) == set(binned)
+    for flag, med in exact.items():
+        lo, hi = binned[flag]
+        assert lo <= med <= hi, (flag, lo, med, hi)
+        # and the bracket is actually tight: one fine bin, not the range
+        assert hi - lo < med * 0.05, (flag, lo, hi)
+
+
 _edges = st.lists(
     st.tuples(st.integers(min_value=0, max_value=11), st.integers(min_value=0, max_value=11)),
     min_size=0,

@@ -50,10 +50,8 @@ def _canon_frame(df):
         except (TypeError, ValueError):
             pass
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                # collapse 5.0 vs 5 only when the column kind differs is
-                # NOT done — the driver wouldn't either; keep float form.
-                return f"{v:.4f}"
+            # collapsing 5.0 vs 5 when the column kind differs is NOT
+            # done — the driver wouldn't either; keep float form.
             return f"{v:.4f}"
         if isinstance(v, bool):
             return str(int(v))
