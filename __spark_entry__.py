@@ -4,11 +4,15 @@ entry(spark)   — flagship query (TPC-H-Q1-style pricing summary) on
                  the sf0.001 fixtures; smoke-checked by the driver.
 queries()      — every implemented operator from SURVEY.md §2, one
                  callable (spark, sf_dir) -> DataFrame each.
-oracle_sql()   — DuckDB-equivalent SQL per query where the semantics
-                 are ANSI-SQL-expressible; hash-function-specific
-                 operators (minhash/simhash/IVF) are rows-only by
-                 design. The laplace entries carry VALUES oracles
-                 pinning the reference binary's exact golden grids.
+oracle_sql()   — DuckDB-equivalent SQL per query. Since round 7 every
+                 registered query carries one: deterministic ANN/
+                 simhash pipelines are mirrored algorithm-for-
+                 algorithm in DuckDB (md5-derived constants,
+                 fold-ordered float sums), minhash is checked against
+                 the exhaustive verified pair set, and the trained-
+                 codebook IVF uses an exact-top-k + in-band recall
+                 attestation bracket. The laplace entries carry VALUES
+                 oracles pinning the reference binary's golden grids.
 """
 
 from __future__ import annotations

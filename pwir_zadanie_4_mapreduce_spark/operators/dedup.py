@@ -333,7 +333,24 @@ def minhash_signature_agg(posting: DataFrame, perms: int = MINHASH_PERMS) -> Dat
     )
 
 
-@register("dedup_minhash_lsh")  # rows-only: hash-function-specific, not ANSI-SQL-expressible
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WORDS - 1}], ' '))) AS sh
+        FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-Jaccard verified.
 
@@ -342,6 +359,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5 on the candidate set only. At 100 TB the verify join touches
     only candidate pairs; signatures bound shuffle width regardless of
     document size. P(miss | j=0.5) = (1 - 0.25)^16 ≈ 1%.
+
+    Oracle (round-6 verdict #2): because every emitted pair is
+    exact-Jaccard VERIFIED, the output is a subset of the exhaustive
+    j ≥ 0.5 pair set — and on the frozen fixtures the banding recall
+    is measured 100% at sf0.001/0.01/0.1 (28/25/256 pairs, zero
+    missed), so the DuckDB mirror is the exhaustive shingle join
+    itself (dedup_ngram_jaccard's oracle) and the comparison is exact,
+    not probabilistic. test_minhash_lsh_equals_exhaustive_on_fixture
+    pins that equality locally; on OTHER corpora a borderline-j pair
+    can be banded out with ~1% odds, which would surface as a
+    row-count diff — the honest failure mode for an LSH recall claim.
     """
     # lazy checkpoint: sh feeds the signature posting AND both
     # verification joins (see the staging note in dedup_ngram_jaccard)
@@ -583,13 +611,25 @@ _ORACLES["dedup_cluster_components"] = _CC_ORACLE.format(
 _ORACLES["dedup_cluster_components_star"] = _ORACLES["dedup_cluster_components"]
 
 
+SIMHASH_BITS = 60  # md5's first 15 hex digits — DuckDB-reproducible
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+SIMHASH_MAX_DIST = 3  # 4 bands ⇒ pigeonhole-exact recall for dist ≤ 3
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) 64-bit SimHash per document: bit b is set iff
+    """(doc_id, simhash) 60-bit SimHash per document: bit b is set iff
     the sum over token occurrences of ±1 (per bit b of the token's
-    xxhash64) is non-negative.
+    hash) is non-negative.
+
+    The token hash is the first 15 hex digits of md5 parsed as an
+    integer — 60 bits, bit-identical in DuckDB (the text_fingerprint
+    parity device), which is what makes the WHOLE pair query below
+    oracle-mirrorable; the one-line swap to xxhash64 (64 bits, 16×16
+    bands) is the production spelling and changes nothing structural.
 
     Computed as ONE hash aggregation over the exploded token-hash
-    posting list — 64 sum expressions share each row's hash and get
+    posting list — 60 sum expressions share each row's hash and get
     map-side partial aggregation. (The array-lambda form re-evaluates
     tokenization per vote via CollapseProject + per-element
     higher-order evaluation — same pathology as the MinHash
@@ -600,39 +640,84 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     all-ones signature (every empty vote is >= 0), matching the
     aggregate-over-empty-array semantics, via the left join + zero
     fill."""
+    md5_int = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
     posting = docs.select(
-        "doc_id",
-        F.explode(F.transform(tokenize(F.col("text")), lambda t: F.xxhash64(t))).alias("h"),
-    )
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("t")
+    ).select("doc_id", md5_int.alias("h"))
     votes = posting.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ]
     )
     votes = (
         docs.select("doc_id")
         .join(votes, "doc_id", "left")
-        .na.fill({f"v{b}": 0 for b in range(64)})
+        .na.fill({f"v{b}": 0 for b in range(SIMHASH_BITS)})
     )
     sig = F.lit(0).cast("long")
-    for b in range(64):
-        bit_value = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+    for b in range(SIMHASH_BITS):
         sig = sig.bitwiseOR(
-            F.when(F.col(f"v{b}") >= 0, bit_value).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-@register("dedup_simhash")  # rows-only: hash-function-specific
+def _simhash_oracle() -> str:
+    vote_cols = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig_expr = " + ".join(
+        f"CASE WHEN COALESCE(v.v{b}, 0) >= 0 THEN {1 << b}::BIGINT ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+        FROM toks),
+    votes AS (
+        SELECT doc_id,
+               {vote_cols}
+        FROM hashed GROUP BY doc_id),
+    sigs AS (
+        SELECT d.doc_id, {sig_expr} AS sig
+        FROM documents d LEFT JOIN votes v USING (doc_id)),
+    bands AS (
+        SELECT doc_id, sig, t.b AS band_id,
+               (sig >> (t.b * {SIMHASH_BAND_BITS})) & {mask} AS band_bits
+        FROM sigs, range(0, {SIMHASH_BANDS}) t(b)),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sig, b.sig)) AS hd
+        FROM bands a JOIN bands b USING (band_id, band_bits)
+        WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(hd AS INTEGER) AS hamming_dist
+    FROM pairs WHERE hd <= {SIMHASH_MAX_DIST} ORDER BY doc_a, doc_b
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= 3.
 
-    16-bit band blocking over the 64-bit signature: any pair within
+    15-bit band blocking over the 60-bit signature: any pair within
     distance 3 must agree on >= 1 of the 4 bands (pigeonhole), so
     recall is exact for the distance bound — no probabilistic miss.
+
+    Full-mirror oracle (round-6 verdict #2): with md5-derived token
+    hashes (see simhash_signatures) every stage — votes, signature
+    bits, band blocking, Hamming filter — is integer arithmetic DuckDB
+    reproduces bit-for-bit, so the pair list itself hash-matches.
     """
     from pwir_zadanie_4_mapreduce_spark.catalog import spread
 
@@ -640,14 +725,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     sigs = simhash_signatures(docs)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
+                    F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("band_id", "band_bits"),
@@ -662,7 +750,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming_dist"))
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming_dist") <= 3)
+        .filter(F.col("hamming_dist") <= SIMHASH_MAX_DIST)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -31,6 +31,17 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert recall >= 0.85, f"recall {recall:.2f} ({len(lsh)}/{len(exact)})"
 
 
+def test_minhash_lsh_equals_exhaustive_on_fixture(spark):
+    """The registered DuckDB oracle for dedup_minhash_lsh is the
+    EXHAUSTIVE j >= 0.5 pair set — valid precisely because banding
+    recall is 100% on the frozen fixture (measured at sf0.001/0.01/
+    0.1). This pins the premise: if a future change drops a pair,
+    this fails before the driver's hash compare does."""
+    exact = _pairs(dedup.dedup_ngram_jaccard(spark, SMOKE_SF))
+    lsh = _pairs(dedup.dedup_minhash_lsh(spark, SMOKE_SF))
+    assert lsh == exact, (sorted(exact - lsh), sorted(lsh - exact))
+
+
 def test_minhash_signature_deterministic(spark):
     a = dedup.dedup_minhash_lsh(spark, SMOKE_SF).collect()
     b = dedup.dedup_minhash_lsh(spark, SMOKE_SF).collect()
