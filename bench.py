@@ -309,8 +309,24 @@ def main() -> None:
     print(line)
     # Also persist to disk: the driver's stdout capture has truncated
     # this (very long) line before (BENCH_r03.json "parsed": null) —
-    # the file copy is the durable record.
-    with open(os.path.join(REPO_ROOT, "bench_out.json"), "w") as fh:
+    # the file copy is the durable record. Guard (round-6 advice): the
+    # committed record is ALWAYS the canonical sf — a smoke run at a
+    # smaller sf must not overwrite it and corrupt the round-over-round
+    # history (r6's record briefly read 43% faster because it was an
+    # sf0.01 run). Non-canonical runs get a suffixed file instead.
+    canonical_sf = float(os.environ.get("SPARK_GRAFT_CANONICAL_SF", "0.1"))
+    out_name = (
+        "bench_out.json"
+        if sf_val == canonical_sf
+        else f"bench_out.sf{sf}.json"
+    )
+    if out_name != "bench_out.json":
+        print(
+            f"note: sf={sf_val} != canonical {canonical_sf}; "
+            f"writing {out_name} (bench_out.json untouched)",
+            file=sys.stderr,
+        )
+    with open(os.path.join(REPO_ROOT, out_name), "w") as fh:
         fh.write(line + "\n")
     spark.stop()
 

@@ -603,11 +603,15 @@ def join_skew_aqe_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # localCheckpoint: the tiny hot frame feeds BOTH the fact-side and
+    # dim-side broadcasts — unmaterialized, the lineitem groupBy-count
+    # scan would execute twice absent exchange reuse (round-6 advice)
     hot = (
         li.groupBy("l_orderkey")
         .count()
         .filter(F.col("count") >= _SKEW_HOT_THRESHOLD)
         .select(F.col("l_orderkey").alias("hot_key"))
+        .localCheckpoint(eager=False)
     )
     sf = (
         li.join(F.broadcast(hot), li["l_orderkey"] == hot["hot_key"], "left")

@@ -48,6 +48,9 @@ def _canon(rows, colnames):
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, duck):
+    # caching queries (pagerank et al.) must not leak InMemoryRelations
+    # into the shared session across the ~260-query sweep
+    spark.catalog.clearCache()
     sdf = QUERIES[name](spark, SMOKE_SF)
     srows = sdf.collect()
     scols = sdf.columns
@@ -70,6 +73,7 @@ def test_rows_only_queries_run(spark):
     for name in sorted(set(QUERIES) - set(ORACLES)):
         if name.startswith("laplace"):
             continue  # covered by test_laplace.py (slow)
+        spark.catalog.clearCache()
         df = QUERIES[name](spark, SMOKE_SF)
         assert df.count() >= 0, name
 

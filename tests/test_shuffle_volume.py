@@ -213,15 +213,19 @@ def test_pagerank_loop_is_shuffle_free(no_broadcast):
     )
 
     spark = no_broadcast
-    li = load_table(spark, CORRECTNESS_SF, "lineitem")
-    n_edges = 2 * li.select("l_partkey", "l_suppkey").distinct().count()
-    df = graph_pagerank_fixed(spark, CORRECTNESS_SF)
-    assert len(df.collect()) > 0
-    stats = PM.shuffle_stats(df)
-    per = PM.per_exchange_records(df)
-    assert stats["exchanges"] == 1, (stats, per)
-    assert stats["records"] <= n_edges, (stats, n_edges)
-    spark.catalog.clearCache()
+    try:
+        li = load_table(spark, CORRECTNESS_SF, "lineitem")
+        n_edges = 2 * li.select("l_partkey", "l_suppkey").distinct().count()
+        df = graph_pagerank_fixed(spark, CORRECTNESS_SF)
+        assert len(df.collect()) > 0
+        stats = PM.shuffle_stats(df)
+        per = PM.per_exchange_records(df)
+        assert stats["exchanges"] == 1, (stats, per)
+        assert stats["records"] <= n_edges, (stats, n_edges)
+    finally:
+        # must run even on assertion failure: the cached |E| frame
+        # would otherwise leak into later tests in the shared session
+        spark.catalog.clearCache()
 
 
 def test_pack_sequences_shuffles_one_row_per_doc(no_broadcast):

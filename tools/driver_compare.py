@@ -124,6 +124,10 @@ def main(argv: list[str]) -> int:
 
     failures = []
     for name in names:
+        # mirror bench.release_storage: queries that cache()/persist
+        # (pagerank's edge frame et al.) must not leak InMemoryRelations
+        # into the shared session across a ~270-query sweep
+        spark.catalog.clearCache()
         if name not in oracles:
             if out_path:
                 # rows-only by declared design: run it, record rows
