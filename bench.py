@@ -33,6 +33,9 @@ HEADLINE = [
     "join_range_ship_delay",
     "join_asof_last_click_before_purchase",
     "join_salted_order_revenue",
+    # production skew join (round-6): threshold-detected hot keys only;
+    # its manual full-replication sibling above stays as the contrast
+    "join_skew_aqe_order_revenue",
     "subquery_scalar_small_qty",
     "agg_grouping_sets",
     "agg_rollup_flags",

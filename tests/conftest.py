@@ -12,6 +12,22 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# transformWithStateInPandas needs google.protobuf in driver AND
+# workers; when absent, activate the vendored-SDK shim (see
+# tools/pb_shim/google/__init__.py) BEFORE the session fixture starts
+# so worker processes inherit it via PYTHONPATH.
+try:
+    import google.protobuf  # noqa: F401
+except ModuleNotFoundError:
+    _PB_SHIM = os.path.join(REPO_ROOT, "tools", "pb_shim")
+    if os.path.isdir(
+        "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk/google/protobuf"
+    ):
+        sys.path.insert(0, _PB_SHIM)
+        os.environ["PYTHONPATH"] = (
+            _PB_SHIM + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
+
 SMOKE_SF = "/root/testdata/sf0.001"
 CORRECTNESS_SF = "/root/testdata/sf0.01"
 
