@@ -203,8 +203,10 @@ def _multifile_dir(spark, src_dir: str) -> tuple[str, str]:
     # size+mtime) and the files parameter; a cached fixture built from
     # different source rows or a different fan-out is rebuilt instead
     # of silently measured (round-5 ADVICE).
+    from tools.make_fixtures import LAYOUT_VERSION
+
     files = 32
-    fp_parts = [f"files={files}"]
+    fp_parts = [f"files={files}", f"layout={LAYOUT_VERSION}"]
     for name in sorted(os.listdir(src_dir)):
         p = os.path.join(src_dir, name)
         if os.path.isfile(p):

@@ -341,10 +341,13 @@ def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final row per user against the batch aggregation.
 
     ENVIRONMENT GATE: the transformWithState state protocol speaks
-    protobuf between the JVM state server and the Python worker; this
-    container ships no google.protobuf, so the job raises
-    ModuleNotFoundError here (and the test skips). The code path is
-    the production spelling on any standard Spark 4 deployment."""
+    protobuf between the JVM state server and the Python worker. On a
+    standard Spark 4 deployment google.protobuf is a pip install; in
+    this container tests/conftest.py activates tools/pb_shim (the
+    google-cloud-sdk's vendored pure-Python protobuf aliased onto
+    google.*, driver sys.path + worker PYTHONPATH), so the test runs
+    green here too. Without either, the import below raises and the
+    test skips."""
     import google.protobuf  # noqa: F401  (gate: required by the state protocol)
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle

@@ -75,15 +75,44 @@ KEY_COLS = {
 }
 
 
-def _write(df: DataFrame, path: str, files: int) -> None:
-    df.repartition(files).write.mode("overwrite").parquet(path)
+# row -> file assignment key per table (first KEY_COLS entry is the
+# pk); used to make the layout DETERMINISTIC: hash-partitioning by a
+# stable key + an in-partition sort yields byte-identical files on
+# every rebuild, unlike round-robin repartition whose file contents
+# depend on the builder session's scan splits. A layout re-roll is
+# exactly what shifted seven bench timings 1.3-1.5x at the round-6
+# fixture rebuild (measured reproducible by the round-7 interleaved
+# A/B, SCALE.md) — rebuilds must never re-roll the dice again.
+LAYOUT_VERSION = "v2-hash-sorted"
+_LAYOUT_KEY = {
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    # full pk: the sort must be by a UNIQUE key or within-tie order
+    # would still follow upstream task completion order
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _write(
+    df: DataFrame, path: str, files: int, key: str | list[str] | None = None
+) -> None:
+    if key is not None and files > 1:
+        cols = [key] if isinstance(key, str) else list(key)
+        df = df.repartition(files, F.col(cols[0])).sortWithinPartitions(*cols)
+    else:
+        df = df.repartition(files)
+    df.write.mode("overwrite").parquet(path)
 
 
 def multifile(spark: SparkSession, src: str, dst: str, files: int = 32) -> None:
     for name in TABLES:
         df = load_table(spark, src, name)
         n = 1 if name in SINGLE_FILE else files
-        _write(df, os.path.join(dst, f"{name}.parquet"), n)
+        _write(df, os.path.join(dst, f"{name}.parquet"), n, _LAYOUT_KEY.get(name))
         print(f"  {name}: {n} file(s)")
 
 
@@ -133,14 +162,14 @@ def scaleup(
         shift("c_custkey", strides["customer"]),
         "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
     )
-    _write(df, os.path.join(dst, "customer.parquet"), files)
+    _write(df, os.path.join(dst, "customer.parquet"), files, "c_custkey")
     print("  customer: done")
 
     df = reps(load_table(spark, src, "part")).select(
         shift("p_partkey", strides["part"]),
         "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
     )
-    _write(df, os.path.join(dst, "part.parquet"), files)
+    _write(df, os.path.join(dst, "part.parquet"), files, "p_partkey")
     print("  part: done")
 
     df = reps(load_table(spark, src, "orders")).select(
@@ -148,7 +177,7 @@ def scaleup(
         shift("o_custkey", strides["customer"]),
         "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
     )
-    _write(df, os.path.join(dst, "orders.parquet"), files)
+    _write(df, os.path.join(dst, "orders.parquet"), files, "o_orderkey")
     print("  orders: done")
 
     df = reps(load_table(spark, src, "lineitem")).select(
@@ -158,7 +187,7 @@ def scaleup(
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
         "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
     )
-    _write(df, os.path.join(dst, "lineitem.parquet"), files)
+    _write(df, os.path.join(dst, "lineitem.parquet"), files, ["l_orderkey", "l_linenumber"])
     print("  lineitem: done")
 
     df = reps(load_table(spark, src, "events")).select(
@@ -167,7 +196,7 @@ def scaleup(
         shift("user_id", strides["events_user"]),
         "event_type", "value", "props",
     )
-    _write(df, os.path.join(dst, "events.parquet"), files)
+    _write(df, os.path.join(dst, "events.parquet"), files, "event_id")
     print("  events: done")
 
     df = reps(load_table(spark, src, "documents")).select(
@@ -185,7 +214,7 @@ def scaleup(
     )
     # n_chars drifts from len(text) for rep>0; recompute to stay honest
     df = df.withColumn("n_chars", F.length("text").cast("long"))
-    _write(df, os.path.join(dst, "documents.parquet"), files)
+    _write(df, os.path.join(dst, "documents.parquet"), files, "doc_id")
     print("  documents: done")
 
     emb = load_table(spark, src, "embeddings")
@@ -201,7 +230,7 @@ def scaleup(
         rot.cast("array<float>").alias("embedding"),
         "label",
     )
-    _write(df, os.path.join(dst, "embeddings.parquet"), files)
+    _write(df, os.path.join(dst, "embeddings.parquet"), files, "vec_id")
     print("  embeddings: done")
 
 
