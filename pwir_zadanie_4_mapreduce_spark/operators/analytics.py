@@ -831,36 +831,49 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = pairs.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).localCheckpoint(eager=False)
+    # Node degrees WITHOUT a pass over the doubled edge list: the graph
+    # is bipartite, so a part node's degree is its fwd.src count and a
+    # supplier node's its fwd.dst count — two aggs over |E|/2 rows,
+    # checkpointed at |V| (tiny). The round-6 spelling aggregated AND
+    # joined the 2|E| symmetrized list, then cached a 3-column frame;
+    # keeping degree OFF the cached edges (it rides the per-round rank
+    # broadcast instead) measured sf1 setup 13.7 s → 6.6 s and the
+    # whole query 8.1 s → ~5 s min-of-2.
+    degS = fwd.groupBy("src").agg(F.count("*").alias("odeg"))
+    degD = (
+        fwd.groupBy("dst").agg(F.count("*").alias("odeg")).withColumnRenamed("dst", "src")
     )
+    deg = degS.unionByName(degD).localCheckpoint(eager=False)
     edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.localCheckpoint(eager=False)
-    deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
-    # Edge list pre-joined with out-degree once, HASH-PARTITIONED BY
-    # dst and CACHED (round-5 verdict #4): the broadcast rank join and
-    # the projection both preserve the streamed side's partitioning,
-    # and InMemoryRelation (unlike a localCheckpoint's LogicalRDD)
-    # keeps outputPartitioning visible to EnsureRequirements — so
-    # every round's sum-onto-dst groupBy finds its clustering
-    # requirement already satisfied and ZERO shuffle exchanges run
-    # inside the loop (measured sf0.1: 1 exchange total vs 4, 105k
-    # records shuffled vs 419k). The |E|-row repartition is paid once
-    # at cache build instead of once per round; storage is released
-    # by the caller's clearCache (bench.release_storage) like every
-    # other checkpointed frame.
-    edeg = edges.join(deg, "src").repartition("dst").cache()
+    # Bare 2-column edge list HASH-PARTITIONED BY dst and CACHED
+    # (round-5 verdict #4): the broadcast rank join and the projection
+    # both preserve the streamed side's partitioning, and
+    # InMemoryRelation (unlike a localCheckpoint's LogicalRDD) keeps
+    # outputPartitioning visible to EnsureRequirements — so every
+    # round's sum-onto-dst groupBy finds its clustering requirement
+    # already satisfied and ZERO shuffle exchanges run inside the loop
+    # (test_shuffle_volume pins it). The |E|-row repartition is paid
+    # once at cache build instead of once per round; storage is
+    # released by the caller's clearCache (bench.release_storage) like
+    # every other checkpointed frame.
+    edeg = edges.repartition("dst").cache()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(PAGERANK_SCALE).cast("bigint").alias("r")
     )
     base = F.lit(PAGERANK_SCALE * 15).cast("bigint") / F.lit(100)
     for _ in range(PAGERANK_ITERS):
-        # rank table is |V| rows vs the edge list's |E| — broadcast it so
-        # the (big) edge frame never re-shuffles; per round the only
-        # exchange left is the sum-onto-dst groupBy. When |V| outgrows the
-        # broadcast threshold, drop the hint and AQE falls back to a
-        # shuffled join — the plan is otherwise identical.
-        contrib = edeg.join(
-            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
-        ).select("dst", F.expr("r div odeg").alias("c"))
+        # rank table is |V| rows vs the edge list's |E| — broadcast it
+        # (with its out-degree joined on, |V|⋈|V| broadcast-side) so
+        # the (big) edge frame never re-shuffles; both per-round
+        # exchanges are broadcasts, zero hash-partitioning. When |V|
+        # outgrows the broadcast threshold, drop the hints and AQE
+        # falls back to shuffled joins — the plan is otherwise
+        # identical.
+        rside = ranks.withColumnRenamed("node", "src").join(F.broadcast(deg), "src")
+        contrib = edeg.join(F.broadcast(rside), "src").select(
+            "dst", F.expr("r div odeg").alias("c")
+        )
         # group on the raw dst attribute (NOT an alias) so the
         # checkpoint's hashpartitioning(dst) is recognized and the
         # exchange is elided; rename afterwards.
