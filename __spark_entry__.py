@@ -46,9 +46,16 @@ def _previously_driver_checked() -> set[str]:
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                seen |= set(json.load(fh))
+                records = json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, rec in records.items():
+            # an errored sample (e.g. the r1/r6 `no_oracle` rows before
+            # those queries gained oracles) is NOT a completed check —
+            # keep such names at the front so the driver re-samples
+            # them now that they can produce a real pass
+            if not isinstance(rec, dict) or rec.get("err") is None:
+                seen.add(name)
     return seen
 
 
