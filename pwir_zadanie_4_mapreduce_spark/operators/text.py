@@ -776,6 +776,69 @@ def text_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHARSET_SAMPLE_MOD = 10  # keep doc iff md5(doc_id) % 10 == 0 (~10%)
+
+
+@register(
+    "text_charset_stats_sampled",
+    oracle=rf"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                     / length(text)), 4) AS alpha_ratio,
+           ROUND(AVG(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                     / length(text)), 4) AS digit_ratio,
+           ROUND(AVG(length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
+                     / length(text)), 4) AS space_ratio
+    FROM documents
+    WHERE length(text) > 0
+      AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+          % {CHARSET_SAMPLE_MOD} = 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_charset_stats_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_charset_stats over a deterministic ~10% hash sample — the
+    100 TB spelling of the charset screen. The exhaustive audit is
+    corpus-chars-linear by construction (measured slope 0.69, the one
+    headline plan above 0.6, SCALE.md r7); its scale lever is
+    SAMPLING, not plan shape: character-class ratios are means over
+    millions of docs per language, so a 10% (or 0.1%) hash sample
+    estimates them to far beyond the 4-decimal report precision while
+    cutting the scan's post-filter work 10× (doc_id is scan-pruned
+    before text is touched only in stats, but the regexp projections —
+    the actual cost — run on sampled rows only).
+
+    The sample is md5-arithmetic on doc_id (the sampling.py device):
+    engine-independent, reproducible, and DuckDB-mirrorable — so
+    unlike rand()-sampling this sampled report is itself
+    hash-oracle-checked."""
+    md5_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % CHARSET_SAMPLE_MOD
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .filter(md5_bucket == 0)
+    )
+
+    def ratio(keep_pattern: str) -> F.Column:
+        kept = F.length(F.regexp_replace("text", keep_pattern, ""))
+        return kept.cast("double") / F.length("text")
+
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dround(F.avg(ratio(r"[^a-zA-Z]")), 4).alias("alpha_ratio"),
+            dround(F.avg(ratio(r"[^0-9]")), 4).alias("digit_ratio"),
+            dround(F.avg(ratio(r"[^ ]")), 4).alias("space_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 PMI_TOP_VOCAB = 100
 PMI_MIN_SUPPORT = 20
 PMI_TOP_PAIRS = 20

@@ -149,3 +149,34 @@ def test_python_datasource_grid_matches_make_grid(spark):
     # surplus-process exclusion: P > N collapses to N single-row parts
     widths = [b.end_row - b.start_row for b in grid_reader_partitions(2, 8)]
     assert widths == [1, 1]
+
+
+def test_multifile_fixture_layout_deterministic(spark, tmp_path):
+    """make_fixtures._write must produce IDENTICAL per-file row content
+    on every rebuild (hash-partition by pk + in-partition sort) — the
+    round-7 guarantee that a fixture rebuild can never again re-roll
+    bench-visible layout (SCALE.md r7 notes). Files are matched by
+    their min key (names carry task UUIDs); content is compared
+    row-exactly."""
+    from tools.make_fixtures import _write
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+
+    def layout(path):
+        import os
+        out = {}
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            rows = sorted(
+                tuple(r) for r in spark.read.parquet(os.path.join(path, f)).collect()
+            )
+            out[rows[0][0]] = rows  # keyed by min doc_id in file
+        return out
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _write(docs, a, 8, "doc_id")
+    _write(docs, b, 8, "doc_id")
+    la, lb = layout(a), layout(b)
+    assert len(la) == 8 and la.keys() == lb.keys()
+    assert la == lb
