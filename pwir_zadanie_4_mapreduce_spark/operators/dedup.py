@@ -611,6 +611,82 @@ _ORACLES["dedup_cluster_components"] = _CC_ORACLE.format(
 _ORACLES["dedup_cluster_components_star"] = _ORACLES["dedup_cluster_components"]
 
 
+SPLIT_MOD = 10  # md5(canonical_id) % 10 → 0-7 train, 8 val, 9 test
+
+
+@register("pipeline_leakage_safe_split")  # oracle patched below (needs _CC_ORACLE)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    splits — the assignment unit is the duplicate CLUSTER, not the
+    document: split = md5(canonical_id) % 10 (0-7 train, 8 val,
+    9 test), so every member of a near-dup cluster lands in the same
+    split by construction. Splitting documents independently is the
+    classic eval-contamination bug (a test doc's near-twin in train);
+    this is the op a training pipeline runs instead.
+
+    Output: per-split doc and cluster counts plus cross_split_pairs —
+    the number of verified near-dup pairs whose endpoints landed in
+    different splits, computed HONESTLY by re-joining the pair list
+    against the assignment (0 by construction; both engines compute
+    it, neither asserts it). md5-arithmetic assignment is
+    engine-mirrorable, subset-invariant, and needs no RNG state.
+
+    100 TB: canonical ids come from the components job (slope 0.22);
+    the assignment itself is one hash per doc, and the audit join
+    touches only the (duplicate-density-sized) pair list."""
+    assigned = dedup_cluster_components(spark, sf_dir).localCheckpoint(eager=False)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % SPLIT_MOD
+    )
+    assigned = assigned.withColumn(
+        "split",
+        F.when(bucket == 8, F.lit("val")).when(bucket == 9, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    a = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    cross = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count("*").alias("cross_split_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(cross))
+        .orderBy("split")
+    )
+
+
+_ORACLES["pipeline_leakage_safe_split"] = f"""
+    WITH assigned AS (
+        SELECT doc_id, canonical_id,
+               CASE ('0x' || substr(md5(canonical_id::VARCHAR), 1, 15))::UBIGINT
+                    % {SPLIT_MOD}
+                    WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END AS split
+        FROM ({_ORACLES['dedup_cluster_components']}) comps),
+    pr AS (SELECT doc_a, doc_b FROM ({_ORACLES['dedup_ngram_jaccard']}) jp),
+    crossed AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cross_split_pairs
+        FROM pr JOIN assigned a ON pr.doc_a = a.doc_id
+                JOIN assigned b ON pr.doc_b = b.doc_id
+        WHERE a.split <> b.split)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_clusters,
+           cross_split_pairs
+    FROM assigned CROSS JOIN crossed
+    GROUP BY split, cross_split_pairs
+    ORDER BY split
+    """
+
+
 SIMHASH_BITS = 60  # md5's first 15 hex digits — DuckDB-reproducible
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15

@@ -758,6 +758,75 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_INCR_CUTOFF_FRACTION = 0.8  # vec_id below lo+0.8*(hi-lo) = "history"
+
+
+@register(
+    "sim_ann_incremental_assign",
+    oracle=f"""
+    WITH {_E_SQL},
+    bounds AS (SELECT MIN(vec_id) + CAST({ANN_INCR_CUTOFF_FRACTION} *
+                      (MAX(vec_id) - MIN(vec_id)) AS BIGINT) AS cutoff
+               FROM e),
+    hist AS (SELECT e.* FROM e, bounds WHERE vec_id < cutoff),
+    cent AS (
+        SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+        FROM hist ORDER BY vec_id LIMIT {N_CENTROIDS}),
+    assigned AS (
+        SELECT e.vec_id, c.centroid_id,
+               CASE WHEN e.vec_id < b.cutoff THEN 1 ELSE 0 END AS is_hist
+        FROM e CROSS JOIN bounds b CROSS JOIN cent c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {_cos_pre('e.v', 'e.nrm', 'c.cv', 'c.cn')} DESC,
+                     c.centroid_id) = 1)
+    SELECT centroid_id,
+           CAST(SUM(is_hist) AS BIGINT) AS n_history,
+           CAST(SUM(1 - is_hist) AS BIGINT) AS n_new,
+           ROUND(SUM(1 - is_hist)::DOUBLE / SUM(is_hist), 4) AS growth_ratio
+    FROM assigned GROUP BY centroid_id ORDER BY centroid_id
+    """,
+)
+def sim_ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance: the daily-ingest shape for a
+    vector index. History (vec_id below the 80% cutoff — standing in
+    for yesterday's index) trains/owns the coarse codebook; the NEW
+    batch is assigned to the FROZEN codebook — no re-clustering, the
+    whole point of incremental maintenance — and the output is the
+    per-centroid drift report (history size, new arrivals, growth
+    ratio) an index operator watches to decide when re-training or
+    bucket-splitting is due (a centroid whose growth ratio runs hot is
+    absorbing a distribution shift).
+
+    100 TB: assignment is one broadcast-codebook argmax pass over the
+    new batch only; history sizes come from the index's metadata, not
+    a re-scan (here both sides are recomputed so the report is
+    self-contained and oracle-checkable). Codebook = the deterministic
+    IVF seed (16 lowest history vec_ids), so the whole op — cutoff,
+    codebook, argmax, counts — mirrors in DuckDB exactly."""
+    e = _prepped(spark, sf_dir)
+    lo, hi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cutoff = lo + int(ANN_INCR_CUTOFF_FRACTION * (hi - lo))
+    hist = e.filter(F.col("vec_id") < cutoff)
+    centroids = _seed_centroids(hist)
+    assigned = assign_centroids(e, centroids).select(
+        "vec_id",
+        "centroid_id",
+        F.when(F.col("vec_id") < cutoff, 1).otherwise(0).alias("is_hist"),
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.sum("is_hist").alias("n_history"),
+            F.sum(1 - F.col("is_hist")).alias("n_new"),
+            dround(
+                F.sum(1 - F.col("is_hist")).cast("double") / F.sum("is_hist"), 4
+            ).alias("growth_ratio"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
 CONF_QUERY_BATCH = 64
 
 

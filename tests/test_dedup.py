@@ -135,3 +135,23 @@ def test_embedding_cosine_threshold(spark):
     rows = dedup.dedup_embedding_cosine(spark, SMOKE_SF).collect()
     assert all(r["cosine"] >= dedup.COSINE_DUP_THRESHOLD - 1e-4 for r in rows)
     assert all(r["vec_a"] < r["vec_b"] for r in rows)
+
+
+def test_leakage_safe_split_partitions_and_never_leaks(spark):
+    rows = dedup.pipeline_leakage_safe_split(spark, SMOKE_SF).collect()
+    splits = {r["split"]: r for r in rows}
+    assert set(splits) <= {"train", "val", "test"} and "train" in splits
+    # the audit column is computed, not asserted — and must come out 0
+    assert all(r["cross_split_pairs"] == 0 for r in rows)
+    # splits partition the corpus: doc counts sum to |documents|
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+
+    n_docs = load_table(spark, SMOKE_SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # every near-dup cluster is wholly inside one split: clusters sum
+    # to the number of distinct canonical ids
+    n_clusters = (
+        dedup.dedup_cluster_components(spark, SMOKE_SF)
+        .select("canonical_id").distinct().count()
+    )
+    assert sum(r["n_clusters"] for r in rows) == n_clusters

@@ -37,8 +37,8 @@ def test_rp_lsh_recall_and_probe_fraction(spark):
     # determinism (hash-derived hyperplanes, no RNG)
     again = {r["vec_id"] for r in similarity.sim_topk_rp_lsh(spark, SMOKE_SF).collect()}
     assert lsh == again
-    # the probe set must actually bound work: <= ~C(8,<=2)/256 of the
-    # corpus (+ slack for uneven buckets)
+    # the probe set must actually bound work: <= ~C(8,<=3)/256 ≈ 36% of
+    # the corpus (+ slack for uneven buckets)
     e = similarity.rp_lsh_signatures(similarity._prepped(spark, SMOKE_SF))
     total = e.count()
     qsig = e.filter(F.col("vec_id") == similarity.QUERY_VEC_ID).first()["sig"]
@@ -166,3 +166,14 @@ def test_pq_recall_and_determinism(spark):
     assert recall >= 0.2, f"pq recall {recall}"
     again = {r["vec_id"] for r in similarity.sim_topk_pq(spark, SMOKE_SF).collect()}
     assert pq == again
+
+
+def test_incremental_assign_total_and_deterministic(spark):
+    rows = similarity.sim_ann_incremental_assign(spark, SMOKE_SF).collect()
+    assert len(rows) == similarity.N_CENTROIDS
+    e = similarity._prepped(spark, SMOKE_SF)
+    assert sum(r["n_history"] + r["n_new"] for r in rows) == e.count()
+    # centroids are history members, so every centroid owns >= itself
+    assert all(r["n_history"] >= 1 for r in rows)
+    again = similarity.sim_ann_incremental_assign(spark, SMOKE_SF).collect()
+    assert rows == again
