@@ -409,3 +409,75 @@ def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.max_value").alias("max_value"),
         F.col("s.sum_value").alias("sum_value"),
     )
+
+
+RECENT_N = 3
+
+
+def run_liststate_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListState on transformWithStateInPandas: per user, keep the N
+    most recent event values (by ts, ties to higher event_id) in a
+    bounded LIST state variable and emit their running summary — the
+    bounded-history pattern (recent items, fraud windows, session
+    context) that ValueState cannot express and unbounded groupBy
+    state must not (state is O(keys × N), never O(history)).
+
+    Same environment gate + shim story as run_transform_with_state;
+    tests diff against the batch window row_number()<=N equivalent.
+    """
+    import google.protobuf  # noqa: F401  (gate: required by the state protocol)
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RecentEvents(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._recent = handle.getListState(
+                "recent", "ts_us bigint, event_id bigint, value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            items = [tuple(t) for t in self._recent.get()]
+            for pdf in rows:
+                for ts, eid, val in zip(
+                    pdf["ts_us"], pdf["event_id"], pdf["value"]
+                ):
+                    items.append((int(ts), int(eid), float(val)))
+            # most-recent-N by (ts, event_id); deterministic tie-break
+            items.sort(key=lambda t: (t[0], t[1]), reverse=True)
+            items = items[:RECENT_N]
+            self._recent.put(items)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_recent": [len(items)],
+                    "latest_event_id": [items[0][1]],
+                    "recent_sum": [round(sum(t[2] for t in items), 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = _events_stream(spark, sf_dir).select(
+        (F.unix_micros(F.col("ts"))).alias("ts_us"), "event_id", "user_id", "value"
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RecentEvents(),
+        outputStructType=(
+            "user_id bigint, n_recent int, latest_event_id bigint, recent_sum double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    raw = _run_to_memory(out, "update")
+    latest = F.max(F.struct("n_recent", "latest_event_id", "recent_sum")).alias("s")
+    return raw.groupBy("user_id").agg(latest).select(
+        "user_id",
+        F.col("s.n_recent").alias("n_recent"),
+        F.col("s.latest_event_id").alias("latest_event_id"),
+        F.col("s.recent_sum").alias("recent_sum"),
+    )

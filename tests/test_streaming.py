@@ -213,3 +213,41 @@ def test_transform_with_state_equals_batch(spark):
         g, w = got[k], want[k]
         assert g[0] == w[0] and abs(g[1] - w[1]) < 1e-9 and abs(g[2] - w[2]) < 1e-9, (k, g, w)
         assert abs(g[3] - w[3]) < 1e-6, (k, g, w)
+
+
+def test_liststate_recent_events_equals_batch(spark):
+    """ListState bounded-history job must equal the batch top-N-per-user
+    window (N most recent by ts, ties to higher event_id)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (
+        RECENT_N,
+        run_liststate_recent_events,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_recent"], r["latest_event_id"], r["recent_sum"])
+        for r in run_liststate_recent_events(spark, SMOKE_SF).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    batch = (
+        load_table(spark, SMOKE_SF, "events")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RECENT_N)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.struct(F.col("rk") == 1, "event_id")).getField("event_id").alias("latest"),
+            F.round(F.sum("value"), 4).alias("s"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["latest"], r["s"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert got[k][1] == want[k][1], (k, got[k], want[k])
+        assert abs(got[k][2] - want[k][2]) < 1e-6, (k, got[k], want[k])
