@@ -2229,83 +2229,3 @@ def join_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
-
-
-@register(
-    "sql_api_unpivot_metrics",
-    oracle="""
-    SELECT o_orderpriority, metric, ROUND(value, 4) AS value
-    FROM (
-        SELECT o_orderpriority,
-               CAST(COUNT(*) AS DOUBLE) AS n_orders,
-               SUM(o_totalprice) AS total_price,
-               AVG(o_totalprice) AS avg_price
-        FROM orders GROUP BY o_orderpriority)
-    UNPIVOT (value FOR metric IN (n_orders, total_price, avg_price))
-    ORDER BY o_orderpriority, metric
-    """,
-)
-def sql_api_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL UNPIVOT (the wide→long reshape, PIVOT's inverse, in the
-    engine's SQL surface — Spark 3.4+ standard syntax, same text runs
-    on DuckDB): a per-priority metrics block unpivoted to
-    (priority, metric, value) rows, the shape metric stores and
-    BI tools ingest. Narrow aggregation first, reshape after — the
-    unpivot multiplies only the groups-sized result, never the fact
-    table, so at 100 TB this costs the same as the aggregate alone.
-
-    ROUND is applied OUTSIDE the SQL text via dround (cross-engine
-    midpoint parity, the sql_api_revenue_by_nation convention)."""
-    from pwir_zadanie_4_mapreduce_spark.catalog import register_views
-
-    register_views(spark, sf_dir)
-    raw = spark.sql(
-        """
-        SELECT o_orderpriority, metric, value
-        FROM (
-            SELECT o_orderpriority,
-                   CAST(COUNT(*) AS DOUBLE) AS n_orders,
-                   SUM(o_totalprice) AS total_price,
-                   AVG(o_totalprice) AS avg_price
-            FROM orders GROUP BY o_orderpriority)
-        UNPIVOT (value FOR metric IN (n_orders, total_price, avg_price))
-        """
-    )
-    return raw.select(
-        "o_orderpriority", "metric", dround("value", 4).alias("value")
-    ).orderBy("o_orderpriority", "metric")
-
-
-@register(
-    "sql_variant_props",
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
-           CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
-           ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-)
-def sql_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured props via the Spark 4 VARIANT type: parse_json
-    once into the binary variant encoding, then typed variant_get
-    extractions — the open-schema path that replaces per-access string
-    re-parsing (get_json_object) with a parse-once columnar format.
-    At 100 TB the difference is one JSON parse per row TOTAL versus
-    one per extracted field, and shredded variant columns let the
-    scan prune subfields like ordinary columns. DuckDB mirrors with
-    its native JSON operators (same values, different encoding)."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-            dround(F.avg("k"), 4).alias("avg_k"),
-        )
-        .orderBy("event_type")
-    )

@@ -633,8 +633,28 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: canonical ids come from the components job (slope 0.22);
     the assignment itself is one hash per doc, and the audit join
-    touches only the (duplicate-density-sized) pair list."""
-    assigned = dedup_cluster_components(spark, sf_dir).localCheckpoint(eager=False)
+    touches only the (duplicate-density-sized) pair list. The pair
+    list is generated ONCE (checkpointed) and feeds both the
+    component labeling and the audit join — not two shingle passes."""
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    paired_nodes = edges.select(F.col("u").alias("node")).distinct()
+    labels = connected_components(paired_nodes, edges)
+    assigned = (
+        docs.join(labels, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("label", "node").alias("canonical_id"),
+        )
+        .localCheckpoint(eager=False)
+    )
     bucket = (
         F.conv(F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % SPLIT_MOD
@@ -645,7 +665,6 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("train")
         ),
     )
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     a = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     b = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
     cross = (
@@ -666,13 +685,14 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["pipeline_leakage_safe_split"] = f"""
-    WITH assigned AS (
+    WITH pr AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({_ORACLES['dedup_ngram_jaccard']}) jp),
+    assigned AS (
         SELECT doc_id, canonical_id,
                CASE ('0x' || substr(md5(canonical_id::VARCHAR), 1, 15))::UBIGINT
                     % {SPLIT_MOD}
                     WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END AS split
-        FROM ({_ORACLES['dedup_cluster_components']}) comps),
-    pr AS (SELECT doc_a, doc_b FROM ({_ORACLES['dedup_ngram_jaccard']}) jp),
+        FROM ({_CC_ORACLE.format(jaccard="SELECT doc_a, doc_b FROM pr")}) comps),
     crossed AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS cross_split_pairs
         FROM pr JOIN assigned a ON pr.doc_a = a.doc_id
