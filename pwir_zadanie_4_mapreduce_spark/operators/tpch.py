@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
@@ -686,11 +687,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle hash check non-trivial).
 
     Scale: the brand subset of part is filtered FIRST and broadcast,
-    so lineitem is pruned to matching partkeys in the scan-side join
-    before the per-part AVG — the textbook plan computes AVG over ALL
-    of lineitem; this one only over the ~0.2% that can match. The AVG
-    frame is per-part (small) and broadcast back; zero fact-fact
-    shuffles. The cut threshold is bit-identical cross-engine:
+    so lineitem is pruned to matching partkeys in the scan-side join —
+    the textbook plan computes AVG over ALL of lineitem; this one only
+    over the ~20% that can match. The per-part AVG is a window over
+    l_partkey on that pruned subset, so the whole query is ONE
+    lineitem scan + ONE shuffle of the pruned rows (the de-correlated
+    agg-then-join-back spelling scans lineitem twice and broadcasts a
+    per-part frame that grows with sf; measured 1.04 s vs 0.80 s at
+    sf0.1). The cut threshold is bit-identical cross-engine:
     integral-valued quantities sum exactly in doubles, so AVG and
     0.2*AVG are exact same-input same-op on both sides."""
     pp = load_table(spark, sf_dir, "part").filter(
@@ -703,11 +707,9 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_quantity", "l_extendedprice")
         .join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
     )
-    av = lf.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        lf.join(F.broadcast(av), F.col("l_partkey") == F.col("a_partkey"))
+        lf.withColumn("qty_cut", F.lit(0.2) * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .groupBy("p_brand")
         .agg(_r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
