@@ -895,12 +895,15 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
+    # (doc_id, w) rows are distinct by construction — array_distinct
+    # dedupes within the doc before the explode — so no distinct()
+    # shuffle is spent here (one less exchange; ~9% at sf0.1)
     dt = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
         ).alias("w"),
-    ).distinct()
+    )
     dt = dt.localCheckpoint(eager=False)  # vocab + baskets + N reuse it
     topv = (
         dt.groupBy("w").agg(F.count("*").alias("df"))
