@@ -39,7 +39,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
@@ -378,21 +377,27 @@ def events_rfm_segments_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pu = pu.localCheckpoint(eager=False)  # reused by 3 bin rollups + final join
 
     def quartiles(bin_name: str, ascending: bool) -> DataFrame:
-        # cumulative count over the BIN ROLLUP (≤ n_bins+1 rows, never
-        # user rows) — a single-partition window over a bounded frame
-        # is fine here; the binned contract only forbids the global
-        # sort over USERS. One pu scan per metric instead of the
-        # two the self-join spelling paid.
+        # cumulative count via the bounded triangle join over the BIN
+        # ROLLUP (≤ n_bins+1 rows) — NOT a window: the binned family's
+        # contract (test_binned_scale_paths_have_no_window) is zero
+        # Window operators, and an interleaved A/B showed the window
+        # spelling saves nothing beyond noise here (~0.1-0.2 s).
         rb = pu.groupBy(bin_name).agg(F.count("*").alias("n_b"))
-        order = F.col(bin_name).asc() if ascending else F.col(bin_name).desc()
-        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
-        cum = F.sum("n_b").over(w)
+        cond = (
+            F.col(f"f.{bin_name}") <= F.col(f"a.{bin_name}")
+            if ascending
+            else F.col(f"f.{bin_name}") >= F.col(f"a.{bin_name}")
+        )
         q = F.least(
             F.lit(4).cast("bigint"),
-            F.floor((cum - F.col("n_b")) * 4.0 / F.col("n")) + 1,
+            F.floor((F.col("cum") - F.col("n_b")) * 4.0 / F.col("n")) + 1,
         ).cast("int")
         return (
-            rb.crossJoin(F.broadcast(ext.select("n")))
+            rb.alias("a")
+            .join(F.broadcast(rb.alias("f")), cond)
+            .groupBy(F.col(f"a.{bin_name}").alias(bin_name), F.col("a.n_b").alias("n_b"))
+            .agg(F.sum(F.col("f.n_b")).alias("cum"))
+            .crossJoin(F.broadcast(ext.select("n")))
             .select(bin_name, q.alias(f"{bin_name[0]}_q"))
         )
 
