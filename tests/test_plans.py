@@ -412,3 +412,34 @@ def test_registry_wide_plan_lint(spark):
                     violations.append(f"{name}: global window ({first})")
                     break
     assert not violations, "\n".join(violations)
+
+
+def test_q17_single_lineitem_scan(spark):
+    """The round-7 rewrite: the per-part AVG is a window over the
+    brand-pruned subset, so lineitem is scanned exactly ONCE (the
+    de-correlated agg-then-join-back spelling scanned it twice and
+    broadcast an sf-growing per-part frame)."""
+    from pwir_zadanie_4_mapreduce_spark.operators.tpch import q17_small_qty_revenue
+
+    scans = read_schema_columns(q17_small_qty_revenue(spark, SMOKE_SF))
+    li_scans = [cols for cols in scans if "l_partkey" in cols]
+    assert len(li_scans) == 1, scans
+    plan = explain_str(q17_small_qty_revenue(spark, SMOKE_SF))
+    assert "Window" in plan, plan
+
+
+def test_degree_distribution_no_predistinct(spark):
+    """The round-7 rewrite: collect_set IS the (order, part) distinct,
+    so the scan must NOT be pre-shuffled on the (l_orderkey,
+    l_partkey) pair — that exchange (the old items.distinct()) is
+    exactly what the rewrite removed."""
+    import re
+
+    from pwir_zadanie_4_mapreduce_spark.operators.analytics import (
+        graph_degree_distribution,
+    )
+
+    plan = explain_str(graph_degree_distribution(spark, SMOKE_SF))
+    assert not re.search(r"hashpartitioning\(l_orderkey[^)]*l_partkey", plan), plan
+    # the basket-assembly exchange on the order key alone must remain
+    assert re.search(r"hashpartitioning\(l_orderkey", plan), plan
