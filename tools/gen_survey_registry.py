@@ -59,13 +59,29 @@ def main() -> None:
     n_total = len(queries)
     n_oracled = len(oracles)
     laplace_list = ", ".join(f"`{n}`" for n in laplace)
+    if n_oracled == n_total:
+        oracle_note = (
+            f"since round 7 ALL {n_total} carry oracles — the last six\n"
+            "rows-only queries (ANN quartet, minhash, simhash) were converted:\n"
+            "IVF/PQ/RP-LSH and simhash are full algorithm mirrors in DuckDB\n"
+            "(deterministic seed codebooks, md5-derived constants, fold-ordered\n"
+            "float sums), `dedup_minhash_lsh` is checked against the exhaustive\n"
+            "j≥0.5 pair set (banding recall measured 100% on the frozen\n"
+            "fixtures, pinned by pytest), and `sim_topk_ivf_kmeans` uses the\n"
+            "HLL bracket pattern (exact top-k + in-band ANN-recall≥0.5\n"
+            "attestation)."
+        )
+    else:
+        oracle_note = (
+            f"{n_oracled} carry DuckDB oracles — the rest are marked rows-only "
+            "(hash-function-\nspecific or approximate by design, each covered by a "
+            "recall/property\npytest instead)."
+        )
     header = (
         f"{n_total} queries in `__spark_entry__.queries()` ({len(names)} below + "
         f"{laplace_list},\n"
-        "checked against the reference binary's golden output instead of DuckDB);\n"
-        f"{n_oracled} carry DuckDB oracles — the rest are marked rows-only "
-        "(hash-function-\nspecific or approximate by design, each covered by a "
-        "recall/property\npytest instead).\n\n"
+        "checked against the reference binary's golden output via golden-VALUES\n"
+        f"oracles); {oracle_note}\n\n"
         "| family | n | queries |\n|---|---|---|\n" + "\n".join(rows) + "\n"
     )
 
