@@ -658,10 +658,13 @@ def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-decimal-rounded values so the kept set is engine-stable.
 
     Plan: the shared scoring plan (one posting shuffle + broadcast
-    model tables), then the mean is a 1-row broadcast and the audit a
-    sources-bounded agg. Docs with <2 tokens have no bigrams and are
-    excluded from scoring by construction."""
-    scored = _bigram_doc_logprobs(spark, sf_dir)
+    model tables), CHECKPOINTED so the corpus-mean pass re-reads the
+    per-doc scores instead of re-running the whole scoring plan (the
+    at-scale equivalent is staging the score table); then the mean is
+    a 1-row broadcast and the audit a sources-bounded agg. Docs with
+    <2 tokens have no bigrams and are excluded from scoring by
+    construction."""
+    scored = _bigram_doc_logprobs(spark, sf_dir).localCheckpoint(eager=False)
     mean_lp = scored.agg(F.avg("avg_lp").alias("mean_lp"))
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     kept = dround(F.col("avg_lp"), 4) >= dround(F.col("mean_lp"), 4)
