@@ -570,12 +570,13 @@ BASKET_MIN_SUPPORT = 3
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs bought together in at
     least BASKET_MIN_SUPPORT=3 orders — the association-mining primitive
-    (the A-priori first pass). Same count-join shape as the Jaccard
-    dedup: distinct (order, part) posting, self-join on the order,
-    groupBy pair counts support. Join fan-out per order is
-    C(items_per_order, 2) — bounded by basket size (≤13 here), the
-    analogue of the shingle df bound; at 100 TB prune first by
-    per-part frequency (the A-priori trick) before pairing."""
+    (the A-priori first pass). Baskets assemble with ONE shuffle
+    (collect_set is the distinct), then the C(k,2) pair fan-out runs
+    JVM-side inside a Catalyst lambda — no (order, part) self-join.
+    Fan-out per order is C(items_per_order, 2) — bounded by basket
+    size (≤13 here), the analogue of the shingle df bound; at 100 TB
+    prune first by per-part frequency (the A-priori trick) before
+    pairing."""
     # One shuffle to assemble each basket (collect_set is the distinct),
     # then the C(k,2) pair fan-out happens JVM-side inside a Catalyst
     # lambda — no self-join, no second scan of lineitem. The sorted set
