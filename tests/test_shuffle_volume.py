@@ -252,3 +252,37 @@ def test_pack_sequences_shuffles_one_row_per_doc(no_broadcast):
     assert max(per) <= n_docs, per
     # token counts ride as one long per doc: fixed-width records only
     assert stats["data_size"] / stats["records"] <= 120, stats
+
+
+def test_basket_lift_reuses_basket_frame(no_broadcast):
+    """basket_lift_rules (round-7 rewrite) derives n_orders and
+    per-part supports from the checkpointed BASKET frame instead of a
+    separate distinct-(order, part) pass: the visible shuffle volume
+    is the C(k,2) pair fan-out plus a parts-bounded support rollup —
+    a plan that re-introduces the pre-distinct (or a lineitem
+    self-join) ships an extra lineitem-sized exchange and fails the
+    budget."""
+    from pwir_zadanie_4_mapreduce_spark.operators.analytics import basket_lift_rules
+
+    spark = no_broadcast
+    li = load_table(spark, CORRECTNESS_SF, "lineitem")
+    n_li = li.count()
+    k = F.size(F.collect_set("l_partkey"))
+    total_pairs = (
+        li.groupBy("l_orderkey")
+        .agg((k * (k - 1) / 2).alias("p"))
+        .agg(F.sum("p"))
+        .first()[0]
+    )
+    n_parts = li.select("l_partkey").distinct().count()
+    df = basket_lift_rules(spark, CORRECTNESS_SF)
+    out_rows = len(df.collect())
+    stats = PM.shuffle_stats(df)
+    per = PM.per_exchange_records(df)
+    # pair fan-out + parts-bounded freq rollup (partials ≤ parts ×
+    # shuffle partitions) + the ordered result; ~half a lineitem of
+    # headroom, far under the +n_li an extra distinct pass costs
+    budget = 1.1 * total_pairs + 32 * n_parts + out_rows + 0.25 * n_li
+    assert stats["records"] <= budget, (stats, per, total_pairs, n_parts)
+    assert max(per) <= 1.1 * total_pairs, (per, total_pairs)
+    assert out_rows > 0
