@@ -153,6 +153,59 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c_acctbal), 4) AS sum_acctbal,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source via Spark 4's NATIVE xml data source (the
+    spark-xml package folded into core): customer rows written as
+    <row> elements, read back with an explicit schema and rowTag, and
+    aggregated — value-exact vs the parquet original (shortest-form
+    double printing both ways, same as JSON). XML is the remaining
+    text interchange format an engine meets in enterprise feeds
+    (the others here: CSV, JSONL).
+
+    100 TB: like CSV/JSONL a row-text format — no pushdown, no
+    pruning; the explicit schema avoids the inference scan, and the
+    write stays partitioned (one .xml part per task, never
+    coalesce(1))."""
+    path = os.path.join(_SCRATCH, "customer_xml")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    (
+        cust.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "row")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).format("xml").option("rowTag", "row").load(path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "source_schema_evolution",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
