@@ -206,6 +206,39 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_text_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) FILTER (text LIKE 'the %') AS BIGINT) AS n_the_prefix
+    FROM documents
+    """,
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text sink + source: the corpus written one document per
+    line (`text` format — the single-string-column contract) and read
+    back; the aggregate (line count, char volume, prefix screen) is
+    computable from the text alone and hash-matches the parquet
+    original. This is the rawest LLM-corpus interchange shape (a .txt
+    shard per task); safe here because the fixture documents carry no
+    embedded newlines — a real pipeline escapes or length-prefixes
+    first (the JSONL roundtrip above is that safer spelling).
+
+    100 TB: like CSV a schema-less text scan — no pushdown, no
+    pruning, no types; one shard per task on write, never
+    coalesce(1)."""
+    path = os.path.join(_SCRATCH, "documents_text")
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path)  # single `value` column by contract
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.count(F.when(F.col("value").startswith("the "), 1)).alias("n_the_prefix"),
+    )
+
+
+@register(
     "source_schema_evolution",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
