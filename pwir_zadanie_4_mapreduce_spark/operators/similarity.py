@@ -19,6 +19,7 @@ order, matching the DuckDB oracle bit-for-bit (see dedup.py note).
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -765,8 +766,8 @@ ANN_INCR_CUTOFF_FRACTION = 0.8  # vec_id below lo+0.8*(hi-lo) = "history"
     "sim_ann_incremental_assign",
     oracle=f"""
     WITH {_E_SQL},
-    bounds AS (SELECT MIN(vec_id) + CAST({ANN_INCR_CUTOFF_FRACTION} *
-                      (MAX(vec_id) - MIN(vec_id)) AS BIGINT) AS cutoff
+    bounds AS (SELECT MIN(vec_id) + CAST(FLOOR({ANN_INCR_CUTOFF_FRACTION} *
+                      (MAX(vec_id) - MIN(vec_id))) AS BIGINT) AS cutoff
                FROM e),
     hist AS (SELECT e.* FROM e, bounds WHERE vec_id < cutoff),
     cent AS (
@@ -806,7 +807,11 @@ def sim_ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook, argmax, counts — mirrors in DuckDB exactly."""
     e = _prepped(spark, sf_dir)
     lo, hi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
-    cutoff = lo + int(ANN_INCR_CUTOFF_FRACTION * (hi - lo))
+    # floor (not round) on BOTH engines: Python int() truncates but a bare
+    # SQL CAST(... AS BIGINT) rounds-to-nearest, so the oracle spells
+    # CAST(FLOOR(...) AS BIGINT) and we floor here — cutoffs now agree for
+    # every (hi-lo) % 5, not just the fixture's lucky residue.
+    cutoff = lo + math.floor(ANN_INCR_CUTOFF_FRACTION * (hi - lo))
     hist = e.filter(F.col("vec_id") < cutoff)
     centroids = _seed_centroids(hist)
     assigned = assign_centroids(e, centroids).select(

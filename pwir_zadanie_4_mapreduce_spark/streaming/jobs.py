@@ -446,9 +446,15 @@ def run_liststate_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             items.sort(key=lambda t: (t[0], t[1]), reverse=True)
             items = items[:RECENT_N]
             self._recent.put(items)
+            # latest_ts_us is monotone non-decreasing across micro-batches
+            # for a key (items always retain the max-ts event), so the
+            # final-row selection below can order by it instead of by
+            # event_id — an id is NOT monotone in ts and would pick a stale
+            # batch's row whenever a later event has a smaller id.
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
+                    "latest_ts_us": [items[0][0]],
                     "n_recent": [len(items)],
                     "latest_event_id": [items[0][1]],
                     "recent_sum": [round(sum(t[2] for t in items), 4)],
@@ -468,13 +474,20 @@ def run_liststate_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RecentEvents(),
         outputStructType=(
-            "user_id bigint, n_recent int, latest_event_id bigint, recent_sum double"
+            "user_id bigint, latest_ts_us bigint, n_recent int, "
+            "latest_event_id bigint, recent_sum double"
         ),
         outputMode="Update",
         timeMode="None",
     )
     raw = _run_to_memory(out, "update")
-    latest = F.max(F.struct("n_recent", "latest_event_id", "recent_sum")).alias("s")
+    # select the FINAL row per user by the monotone (latest_ts_us,
+    # latest_event_id) pair — n_recent caps at RECENT_N and event ids are
+    # not ordered by ts, so neither is safe as the leading sort key once
+    # the source delivers more than one micro-batch.
+    latest = F.max(
+        F.struct("latest_ts_us", "latest_event_id", "n_recent", "recent_sum")
+    ).alias("s")
     return raw.groupBy("user_id").agg(latest).select(
         "user_id",
         F.col("s.n_recent").alias("n_recent"),

@@ -55,7 +55,12 @@ class _AliasLoader(importlib.abc.MetaPathFinder, importlib.abc.Loader):
         # module's REAL __name__ (cloudsdk.google.protobuf).
         if fullname == "cloudsdk.google.protobuf.runtime_version":
             return importlib.util.spec_from_loader(fullname, self)
-        if not fullname.startswith("google."):
+        # Claim ONLY google.protobuf.* — a blanket google.* claim would
+        # misroute genuine google namespace packages (google.auth,
+        # google.cloud, ...) to cloudsdk.* process-wide.
+        if fullname != "google.protobuf" and not fullname.startswith(
+            "google.protobuf."
+        ):
             return None
         return importlib.util.spec_from_loader(fullname, self)
 
