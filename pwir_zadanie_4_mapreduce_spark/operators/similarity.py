@@ -127,11 +127,11 @@ def assign_centroids(e: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _seed_centroids(e: DataFrame) -> DataFrame:
-    """Deterministic coarse codebook: the N_CENTROIDS lowest vec_ids."""
+def _seed_centroids(e: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
+    """Deterministic coarse codebook: the k lowest vec_ids."""
     return (
         e.orderBy("vec_id")
-        .limit(N_CENTROIDS)
+        .limit(k)
         .select(
             F.col("vec_id").alias("centroid_id"),
             F.col("v").alias("cv"),
@@ -274,7 +274,9 @@ def _codebook_df(spark: SparkSession, book: dict) -> DataFrame:
     return df.select("centroid_id", "cv", l2_norm(F.col("cv")).alias("cn"))
 
 
-IVF_KMEANS_RECALL_MIN = 0.5  # measured 0.9–1.0 at sf0.001/0.01/0.1 (deterministic)
+IVF_KMEANS_RECALL_MIN = 0.8  # measured 0.9–1.0 at sf0.001/0.01/0.1 (deterministic);
+# the bracket threshold sits just under the measured floor so a recall
+# regression to the old 0.5 attestation level now FAILS the oracle.
 
 
 def ivf_kmeans_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,6 +315,239 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return exact.crossJoin(F.broadcast(flag))
+
+
+IVF_SAMPLE_MOD = 10  # md5(vec_id) % 10 == 0 → deterministic ~10% training sample
+IVF_QUANT_SCALE = 1000000000.0  # unit-vector components quantized to 1e-9 grid
+# Sample-trained centroids are noisier than full-corpus ones, so the sampled
+# variant probes 6 of 16 buckets (vs 4): measured over 50 query vectors at
+# sf0.1, avg recall@10 is 0.554@nprobe4 / 0.684@nprobe6 sampled vs
+# 0.686@nprobe4 full-trained — +2 probes buy the sampling loss back
+# (scanned fraction 38% vs 25%). nprobe is the standard IVF recall knob.
+IVF_SAMPLED_NPROBE = 6
+
+
+def _fold_dot(a: list, b: list) -> float:
+    """Driver-side twin of functions.vectors.dot / DuckDB list_sum:
+    left-fold from 0.0 — Python float ops are the same IEEE binary64
+    as both engines, so on identical inputs this is bit-identical."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _sql_double(x: float) -> str:
+    """A Spark-SQL literal that reproduces the Python double exactly:
+    repr() is the shortest round-tripping decimal and a string→double
+    CAST parses it with correct rounding (a bare decimal literal would
+    be DecimalType)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _sql_arr(v: list[float]) -> str:
+    return "array(" + ", ".join(_sql_double(x) for x in v) + ")"
+
+
+def _sql_fold_dot(col: str, v: list[float]) -> str:
+    """Spark-SQL twin of functions.vectors.dot against a literal
+    vector — same zip_with/aggregate left fold, same doubles."""
+    return (
+        f"aggregate(zip_with({col}, {_sql_arr(v)}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+
+
+def _assign_book_lit(df: DataFrame, book: dict[int, list[float]]) -> DataFrame:
+    """Max-cosine centroid assignment against a DRIVER-SIDE codebook,
+    as a narrow projection: the k cosines are literal-vector dot
+    products inside codegen and the argmax is array_min over
+    (-cosine, centroid_id) structs — no crossJoin, no Window, ZERO
+    exchange. This is the 100 TB assignment shape: the model rides the
+    plan as a constant, the corpus is touched by one narrow scan.
+
+    The expression is generated as ONE SQL string (a k×dim column-API
+    build is thousands of py4j lit() round-trips — measured ~1.1 s per
+    call; one expr() parse is ~50 ms). Tie-break (lowest centroid_id
+    on equal cosine) and every double match the QUALIFY ROW_NUMBER
+    mirror the other IVF oracles use.
+    """
+    structs = []
+    for cid in sorted(book):
+        cv = book[cid]
+        cn = math.sqrt(_fold_dot(cv, cv))
+        cos = f"({_sql_fold_dot('v', cv)} / (nrm * {_sql_double(cn)}))"
+        structs.append(
+            f"named_struct('nc', -{cos}, 'cid', CAST({cid} AS BIGINT))"
+        )
+    return df.withColumn(
+        "centroid_id", F.expr(f"array_min(array({', '.join(structs)})).cid")
+    )
+
+
+def _sampled_kmeans_book(
+    e: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+) -> dict[int, list[float]]:
+    """Spherical k-means trained on a deterministic md5 ~10% sample —
+    the 100 TB spelling of kmeans_codebook: Lloyd never touches the
+    full corpus, only the bounded sample (at 100 TB the MOD is chosen
+    to cap the sample; here 10% of the fixture). Returns the
+    driver-side codebook dict (k×dim — the bounded-collect contract).
+
+    Every arithmetic step is engine-portable so DuckDB can re-run the
+    training verbatim (full hash oracle, unlike the full-corpus
+    variant's recall bracket):
+    - unit-vector components are quantized to int64 on a 1e-9 grid
+      (FLOOR((x/nrm) * 1e9) — floor of the same double is the same
+      int in every engine), so per-centroid sums are EXACT integer
+      sums, independent of partitioning and fold order;
+    - centroid components are CAST(s AS DOUBLE)/n — one IEEE division
+      on identical (s, n), bit-identical everywhere;
+    - norms/cosines are the fold-ordered list_sum/F.aggregate device
+      every green cosine oracle already relies on.
+    Empty clusters keep their previous centroid (mirrored by the
+    oracle's LEFT JOIN + COALESCE per round).
+    """
+    md5_bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % IVF_SAMPLE_MOD
+    )
+    samp = (
+        e.filter(md5_bucket == 0)
+        .filter(F.col("nrm") > 0)
+        .select("vec_id", "v", "nrm")
+        .localCheckpoint(eager=False)  # Lloyd jobs re-read the tiny sample
+    )
+    book = {
+        r["vec_id"]: list(r["v"]) for r in samp.orderBy("vec_id").limit(k).collect()
+    }
+    for _ in range(iters):
+        sums = (
+            _assign_book_lit(samp, book)
+            .select("centroid_id", "nrm", F.posexplode("v").alias("d", "x"))
+            .groupBy("centroid_id", "d")
+            .agg(
+                F.sum(
+                    F.floor((F.col("x") / F.col("nrm")) * F.lit(IVF_QUANT_SCALE))
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new_book: dict[int, dict[int, float]] = {}
+        for r in sums:
+            # float(s)/n == CAST(s AS DOUBLE)/n: one IEEE round + one
+            # IEEE division on identical integers in both engines
+            new_book.setdefault(r["centroid_id"], {})[r["d"]] = float(r["s"]) / r["n"]
+        for cid, comps in new_book.items():
+            book[cid] = [comps[d] for d in range(len(comps))]
+        # centroids absent from new_book (empty clusters) keep old value
+    return book
+
+
+def _ivf_kmeans_sampled_oracle() -> str:
+    """Generate the DuckDB mirror of the FULL sampled-training
+    pipeline: seed → {iters}× (assign sample, integer-quantized sums,
+    means, renorm) → assign corpus → probe → in-bucket top-k."""
+    ctes = [
+        _E_SQL,
+        f"""samp AS (
+        SELECT vec_id, v, nrm FROM e
+        WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT
+              % {IVF_SAMPLE_MOD} = 0 AND nrm > 0)""",
+        f"""cent0 AS (
+        SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+        FROM samp ORDER BY vec_id LIMIT {N_CENTROIDS})""",
+    ]
+    for r in range(1, KMEANS_ITERS + 1):
+        prev = f"cent{r - 1}"
+        ctes.append(f"""a{r} AS (
+        SELECT s.vec_id, s.v, s.nrm, c.centroid_id
+        FROM samp s CROSS JOIN {prev} c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
+            ORDER BY {_cos_pre('s.v', 's.nrm', 'c.cv', 'c.cn')} DESC,
+                     c.centroid_id) = 1)""")
+        ctes.append(f"""m{r} AS (
+        SELECT centroid_id, g.d,
+               SUM(CAST(FLOOR((v[g.d] / nrm) * {IVF_QUANT_SCALE}) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM a{r}, generate_series(1, {EMB_DIM}) AS g(d)
+        GROUP BY centroid_id, g.d)""")
+        ctes.append(f"""nc{r} AS (
+        SELECT centroid_id, list(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
+        FROM m{r} GROUP BY centroid_id)""")
+        ctes.append(f"""cent{r} AS (
+        SELECT p.centroid_id, COALESCE(n.cv, p.cv) AS cv,
+               sqrt(list_sum(list_transform(COALESCE(n.cv, p.cv),
+                                            x -> x * x))) AS cn
+        FROM {prev} p LEFT JOIN nc{r} n USING (centroid_id))""")
+    final = f"cent{KMEANS_ITERS}"
+    ctes.append(f"""assigned AS (
+        SELECT e.vec_id, e.v, e.nrm, c.centroid_id
+        FROM e CROSS JOIN {final} c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY {_cos_pre('e.v', 'e.nrm', 'c.cv', 'c.cn')} DESC,
+                     c.centroid_id) = 1)""")
+    ctes.append(f"q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID})")
+    ctes.append(f"""probe AS (
+        SELECT c.centroid_id FROM {final} c CROSS JOIN q
+        ORDER BY {_cos_pre('c.cv', 'c.cn', 'q.qv', 'q.qn')} DESC, c.centroid_id
+        LIMIT {IVF_SAMPLED_NPROBE})""")
+    return "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT a.vec_id,
+           ROUND({_cos_pre('a.v', 'a.nrm', 'q.qv', 'q.qn')}, 4) AS cosine
+    FROM assigned a JOIN probe USING (centroid_id) CROSS JOIN q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY {_cos_pre('a.v', 'a.nrm', 'q.qv', 'q.qn')} DESC, a.vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@register("sim_topk_ivf_kmeans_sampled", oracle=_ivf_kmeans_sampled_oracle())
+def sim_topk_ivf_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a SAMPLE-trained spherical k-means codebook —
+    the production spelling of sim_topk_ivf_kmeans: Lloyd runs on a
+    deterministic md5 ~10% sample (5 tiny jobs over a checkpointed
+    sample; at 100 TB the sample is bounded and the full corpus is
+    touched exactly once, by the final assignment pass), then the
+    query probes nprobe=6 of 16 buckets (see IVF_SAMPLED_NPROBE: +2
+    probes buy back the sample-training recall loss — 50-query avg
+    recall@10 0.684 vs 0.686 for full-corpus training at nprobe=4)
+    and ranks exact cosine inside them.
+
+    Unlike the full-corpus variant (recall-bracket oracle), this one
+    is a FULL algorithm mirror: integer-quantized Lloyd updates make
+    training arithmetic engine-portable, so the DuckDB oracle re-runs
+    seed → 5 Lloyd rounds → assignment → probe → top-k verbatim and
+    the ANN output itself hash-matches.
+
+    Plan shape: codebook and query vector are driver-side (bounded:
+    k×dim and 1×dim), probe selection is driver arithmetic, so the
+    whole query is ONE narrow corpus scan (literal-codebook argmax +
+    isin(probes) + literal-query cosine) into TakeOrderedAndProject —
+    ZERO exchanges; at 100 TB with the corpus written partitioned by
+    centroid_id the isin becomes partition pruning at the scan.
+    """
+    e = _prepped(spark, sf_dir)
+    book = _sampled_kmeans_book(e)
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
+    qv, qn = list(qrow["v"]), qrow["nrm"]
+    scored = []
+    for cid in sorted(book):
+        cv = book[cid]
+        cn = math.sqrt(_fold_dot(cv, cv))
+        scored.append((-(_fold_dot(cv, qv) / (cn * qn)), cid))
+    probes = [cid for _, cid in sorted(scored)[:IVF_SAMPLED_NPROBE]]
+    cos = F.expr(f"{_sql_fold_dot('v', qv)} / (nrm * {_sql_double(qn)})")
+    return (
+        _assign_book_lit(e, book)
+        .filter(F.col("centroid_id").isin(probes))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", dround("cosine", 4).alias("cosine"))
+    )
 
 
 N_HYPERPLANES = 8

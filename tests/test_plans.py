@@ -443,3 +443,20 @@ def test_degree_distribution_no_predistinct(spark):
     assert not re.search(r"hashpartitioning\(l_orderkey[^)]*l_partkey", plan), plan
     # the basket-assembly exchange on the order key alone must remain
     assert re.search(r"hashpartitioning\(l_orderkey", plan), plan
+
+
+def test_ivf_kmeans_sampled_query_is_narrow(spark):
+    """The round-8 sampled-training IVF: codebook and query vector are
+    driver-side constants, so the REGISTERED query's plan must be one
+    narrow corpus scan into TakeOrderedAndProject — zero exchanges
+    (training jobs run before the returned plan and are not part of
+    it). This is the 100 TB contract: assignment+probe+rank never
+    shuffle the corpus."""
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import (
+        sim_topk_ivf_kmeans_sampled,
+    )
+
+    plan = explain_str(sim_topk_ivf_kmeans_sampled(spark, SMOKE_SF))
+    assert "Arguments: hashpartitioning" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
