@@ -1,11 +1,14 @@
 """Multimodal column plumbing (SURVEY.md §2.2 / driver brief).
 
 Media are opaque `binary` columns + typed metadata structs. The
-container has no image/audio codecs, so the *decode* step is a
-deterministic fake behind ``mapInPandas`` — but everything Spark-side
-is real and tested: schema, Arrow batch shape, partition-preserving
-iterator contract, and the metadata extraction that a real decoder
-would slot into.
+container has no native image/audio codecs, so most *decode* steps
+are a deterministic fake behind ``mapInPandas`` — but everything
+Spark-side is real and tested: schema, Arrow batch shape,
+partition-preserving iterator contract, and the metadata extraction a
+real decoder slots into. One decode IS real:
+``multimodal_png_decode_stats`` runs a pure-stdlib PNG decode
+(functions/png.py — zlib inflate + spec unfiltering) over genuine PNG
+payloads, oracle-checked against the pixel-formula arithmetic.
 
 At 100 TB: binary payloads dominate I/O, so the rule is (1) never
 shuffle the payload — extract features first, project the binary away
@@ -23,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
 from pwir_zadanie_4_mapreduce_spark.operators.registry import register
 
 DECODE_SCHEMA = (
@@ -41,11 +45,127 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
     return 64 + byte_len % 640, 64 + (byte_len * 7) % 480, 1 + byte_len % 16
 
 
-def real_decode_unavailable(*_args, **_kwargs):  # pragma: no cover
-    raise NotImplementedError(
-        "image/audio codecs are not installed in this container; "
-        "decode_image_stub provides the deterministic stand-in"
+PNG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, px_sum bigint, min_px int, max_px int"
+)
+
+
+def make_png_payload_batches():
+    """mapInPandas worker 1: synthesize a REAL grayscale PNG per doc.
+
+    Dimensions and pixels are a deterministic formula of doc_id
+    (w = 4 + id%13, h = 4 + id%11, p(x,y) = (id*31 + 7x + 13y) % 256)
+    so the downstream decode is independently checkable: the DuckDB
+    oracle recomputes the same pixel grid arithmetically and any codec
+    bug breaks the value hash. Encoding cycles all five PNG row
+    filters (see functions/png.py), so the decoder's unfilter paths
+    all run. Closure-only references (repo worker-pickling rule)."""
+    from pwir_zadanie_4_mapreduce_spark.functions.png import make_png_codec
+
+    encode_png, _ = make_png_codec()
+
+    def payload_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 13, 4 + d % 11
+                grid = (d * 31 + 7 * np.arange(w)[None, :] + 13 * np.arange(h)[:, None]) % 256
+                payloads.append(encode_png(w, h, grid.astype(np.uint8).tobytes()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return payload_batches
+
+
+def make_png_stats_batches():
+    """mapInPandas worker 2: REAL PNG decode (signature, chunk+CRC
+    walk, zlib inflate, per-row unfilter) → pixel stats. The stats
+    come only from decoded bytes; parity with the formula-based oracle
+    is what proves the decode correct."""
+    from pwir_zadanie_4_mapreduce_spark.functions.png import make_png_codec
+
+    _, decode_png = make_png_codec()
+
+    def stats_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "min_px", "max_px")}
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_png(bytes(payload))
+                out["doc_id"].append(int(d))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(px))
+                out["min_px"].append(min(px))
+                out["max_px"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return stats_batches
+
+
+@register(
+    "multimodal_png_decode_stats",
+    oracle="""
+    WITH dim AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, (doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS p
+        FROM dim,
+             LATERAL (SELECT unnest(range(0, w)) AS x) x,
+             LATERAL (SELECT unnest(range(0, h)) AS y) y)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(SUM(p) AS BIGINT) AS px_sum,
+           CAST(MIN(p) AS INTEGER) AS min_px,
+           CAST(MAX(p) AS INTEGER) AS max_px,
+           ROUND(CAST(SUM(p) AS DOUBLE) / (w * h), 4) AS mean_px
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode behind the multimodal seam: per document a
+    genuine grayscale PNG is synthesized (deterministic pixels,
+    all five PNG row filters cycled), shipped through Arrow as a
+    binary column, then DECODED — stdlib zlib inflate + spec unfilter
+    (functions/png.py), no deterministic fake — and reduced to pixel
+    stats. The oracle never sees PNG bytes: it recomputes the pixel
+    grid from the doc_id formula, so a wrong CRC walk, inflate, or
+    Paeth branch breaks the hash.
+
+    At 100 TB this is the canonical media-feature topology: two
+    chained narrow Arrow stages (synthesize→decode here; read→decode
+    in production), payload projected away at the stats reduction,
+    nothing wide ever touches the binary. decode_image_stub remains
+    only as the documented stand-in for codecs (JPEG/video) that a
+    container without native libs genuinely cannot run."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = with_binary_payload_png(docs)
+    feats = media.mapInPandas(make_png_stats_batches(), schema=PNG_STATS_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "px_sum",
+        "min_px",
+        "max_px",
+        dround(
+            F.col("px_sum").cast("double") / (F.col("width") * F.col("height")), 4
+        ).alias("mean_px"),
     )
+
+
+def with_binary_payload_png(docs: DataFrame) -> DataFrame:
+    """Opaque binary column holding REAL PNG bytes (see
+    make_png_payload_batches). Same repartition rationale as
+    with_binary_payload: per-row codec work must not run on one
+    scan split."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    return docs.mapInPandas(make_png_payload_batches(), schema="doc_id bigint, payload binary")
 
 
 def make_decode_batches():

@@ -43,8 +43,17 @@ def test_frame_sample_counts(spark):
         assert per_doc[doc_id] == (n_frames + 3) // 4
 
 
-def test_decode_stub_is_marked(spark):
-    import pytest
-
-    with pytest.raises(NotImplementedError):
-        multimodal.real_decode_unavailable(b"")
+def test_png_decode_stats_match_formula(spark):
+    """The real PNG path: decoded pixel stats must equal the
+    generation formula recomputed directly (the oracle's check, but
+    in-process) — any codec bug (CRC walk, inflate, unfilter) breaks
+    this."""
+    rows = multimodal.multimodal_png_decode_stats(spark, SMOKE_SF).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        w, h = 4 + d % 13, 4 + d % 11
+        px = [(d * 31 + x * 7 + y * 13) % 256 for y in range(h) for x in range(w)]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["px_sum"] == sum(px)
+        assert r["min_px"] == min(px) and r["max_px"] == max(px)
