@@ -56,8 +56,10 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_topk_batch",
     "sim_topk_ivf",
+    "sim_topk_ivf_kmeans_sampled",
     "text_quality_score",
     "multimodal_decode_features",
+    "multimodal_png_decode_stats",
     # round-2 additions: warehouse + analytics + text/sketch families
     "merge_upsert_orders",
     "window_gaps_islands",
@@ -275,6 +277,23 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer caches
     materialize(queries["q1_pricing_summary"](spark, sf_dir))
 
+    # Host-window canary (round-7 verdict #7): this box's throughput
+    # swings ~2× between windows (BASELINE.md "Host-throughput
+    # banding"), so the record carries the canary measurement itself —
+    # a warm min-of-2 q1 — plus the fast-window reference, making
+    # cross-window totals machine-normalizable instead of a prose
+    # caveat. q1 ≈ 0.53 s in a fast window at sf0.1/multifile-32.
+    canary_ref = float(os.environ.get("SPARK_GRAFT_CANARY_REF", "0.53"))
+    canary_best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        materialize(queries["q1_pricing_summary"](spark, sf_dir))
+        canary_best = min(canary_best, time.monotonic() - t0)
+    canary_q1_s = round(canary_best, 3)
+    # "fast" within 1.4× of the reference; beyond that the window is
+    # degraded and totals should be read against canary_q1_s/ref.
+    canary_verdict = "fast" if canary_q1_s <= 1.4 * canary_ref else "slow"
+
     # Per-query min-of-2 (round-4 verdict #3): first-touch effects —
     # codegen compilation, parquet footer/OS page-cache misses, JIT —
     # can double a single measurement and produced false >2× round-
@@ -309,6 +328,9 @@ def main() -> None:
             "runs_per_query": runs_per_query,
             "aggregation": "min",
             "layout": layout,
+            "canary_q1_s": canary_q1_s,
+            "canary_fast_ref_s": canary_ref,
+            "canary_verdict": canary_verdict,
         }
     )
     print(line)
