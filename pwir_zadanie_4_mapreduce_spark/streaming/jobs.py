@@ -58,6 +58,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _use_rocksdb(spark: SparkSession) -> None:
+    """Select the RocksDB state store provider (public Spark 4 conf) —
+    the production backend for every stateful job here, not just the
+    transformWithState pair that requires it: state lives off-heap in
+    RocksDB with changelog checkpointing available, so executor state
+    is bounded by disk, not JVM heap — the difference between a
+    restartable and an OOM-bound job once per-key state × keys grows
+    past executor memory at 100 TB/day. The conf is read at QUERY
+    start, so setting it per-job is safe for concurrently running
+    batch work on the same session."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
@@ -75,6 +91,7 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
 
 def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling 1h window ≡ events_tumbling_hourly (batch)."""
+    _use_rocksdb(spark)
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -87,6 +104,7 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding window (1h / 30m) ≡ events_sliding_1h_30m."""
+    _use_rocksdb(spark)
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -102,6 +120,7 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     static customer table (micro-batch side lookup — no stream state,
     the standard dimension-enrichment topology; at scale the static
     side is broadcast per micro-batch)."""
+    _use_rocksdb(spark)
     from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "value")
@@ -126,6 +145,7 @@ def run_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with keys, never with history. Emits the final per-user
     totals; the test diffs them against the batch groupBy.
     """
+    _use_rocksdb(spark)
     import pandas as pd
 
     def update_totals(key, pdf_iter, state):
@@ -168,6 +188,7 @@ def run_foreach_batch_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> Da
     is the standard exactly-once recipe for sinks without transactional
     commit. Returns the files read back as a DataFrame.
     """
+    _use_rocksdb(spark)
     import os
 
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
@@ -198,6 +219,7 @@ def run_hourly_rollup_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> Da
     so replays are idempotent and untouched hours are never rewritten.
     At 100 TB/day this is how a query-ready rollup stays fresh without
     ever recomputing history. Returns the rollup read back."""
+    _use_rocksdb(spark)
     import os
 
     ev = _events_stream(spark, sf_dir)
@@ -271,6 +293,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store evict rows once no future match is possible; without
     BOTH bounds the join state grows forever — the stream-stream
     hazard at 100 TB/day. Emits per-user matched-pair counts."""
+    _use_rocksdb(spark)
     clicks = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -300,6 +323,7 @@ def run_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent of the batch lag/cumsum sessionization. Emits one row
     per (user, session) with the event count.
     """
+    _use_rocksdb(spark)
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -321,6 +345,7 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits only the key columns — the deterministic part — and tests
     diff the key set against batch dropDuplicates.
     """
+    _use_rocksdb(spark)
     ev = _events_stream(spark, sf_dir).select("ts", "user_id", "event_type")
     deduped = (
         ev.withWatermark("ts", "1 hour")
@@ -386,10 +411,7 @@ def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transformWithState requires the RocksDB state store provider
     # (typed state variables / timers are not implemented on the
     # default HDFS-backed store)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    _use_rocksdb(spark)
     ev = _events_stream(spark, sf_dir).select("user_id", "value")
     out = ev.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserValueStats(),
@@ -464,10 +486,7 @@ def run_liststate_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    _use_rocksdb(spark)
     ev = _events_stream(spark, sf_dir).select(
         (F.unix_micros(F.col("ts"))).alias("ts_us"), "event_id", "user_id", "value"
     )
