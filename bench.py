@@ -331,6 +331,7 @@ def main() -> None:
             "canary_q1_s": canary_q1_s,
             "canary_fast_ref_s": canary_ref,
             "canary_verdict": canary_verdict,
+            "master": os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"),
         }
     )
     print(line)
@@ -342,15 +343,22 @@ def main() -> None:
     # history (r6's record briefly read 43% faster because it was an
     # sf0.01 run). Non-canonical runs get a suffixed file instead.
     canonical_sf = float(os.environ.get("SPARK_GRAFT_CANONICAL_SF", "0.1"))
-    out_name = (
-        "bench_out.json"
-        if sf_val == canonical_sf
-        else f"bench_out.sf{sf}.json"
-    )
+    # A non-default master (e.g. local-cluster multi-process evidence
+    # runs) is a different machine shape — never the canonical record.
+    alt_master = os.environ.get("SPARK_GRAFT_MASTER")
+    if alt_master:
+        tag = "".join(c if c.isalnum() else "-" for c in alt_master).strip("-")
+        out_name = f"bench_out.{tag}.json"
+    elif sf_val == canonical_sf:
+        out_name = "bench_out.json"
+    else:
+        out_name = f"bench_out.sf{sf}.json"
     if out_name != "bench_out.json":
+        why = (
+            f"master={alt_master}" if alt_master else f"sf={sf_val} != canonical {canonical_sf}"
+        )
         print(
-            f"note: sf={sf_val} != canonical {canonical_sf}; "
-            f"writing {out_name} (bench_out.json untouched)",
+            f"note: {why}; writing {out_name} (bench_out.json untouched)",
             file=sys.stderr,
         )
     with open(os.path.join(REPO_ROOT, out_name), "w") as fh:

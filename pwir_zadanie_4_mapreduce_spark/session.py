@@ -43,12 +43,24 @@ def build_session(
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or get) a SparkSession tuned for this engine."""
+    """Build (or get) a SparkSession tuned for this engine.
+
+    SPARK_GRAFT_MASTER overrides the master URL — e.g.
+    ``local-cluster[2,8,4096]`` runs 2 REAL executor JVMs (own
+    heaps, real serialization/broadcast/exchange transport), the
+    closest single-machine approximation of a cluster and the
+    multi-process evidence mode (SCALE.md). Python workers on those
+    executors must import this package, so the PYTHONPATH prepared by
+    _ensure_worker_importable (repo root + any active shim) is passed
+    through spark.executorEnv explicitly.
+    """
     _ensure_worker_importable()
     cpus = cpus or DEFAULT_CPUS
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
+        .config("spark.executorEnv.PYTHONPATH", os.environ.get("PYTHONPATH", ""))
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
