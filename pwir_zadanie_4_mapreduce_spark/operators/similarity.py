@@ -213,16 +213,21 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cosine both engines compute).
     """
     e = _prepped(spark, sf_dir)
-    centroids = _seed_centroids(e)
-    return _ivf_topk(assign_centroids(e, centroids), centroids)
+    # bounded collect (k×dim): the seed codebook becomes plan literals
+    # so corpus assignment is a narrow argmax projection — the Window
+    # spelling shuffled the ENTIRE corpus on vec_id, which is exactly
+    # the exchange a 100 TB ANN index build cannot afford (round-8
+    # A/B + plan-pinned in test_plans).
+    book = {r["centroid_id"]: list(r["cv"]) for r in _seed_centroids(e).collect()}
+    return _ivf_topk(_assign_book_lit(e, book), _codebook_df(spark, book))
 
 
 KMEANS_ITERS = 5
 
 
-def kmeans_codebook(
+def kmeans_book(
     e: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
-) -> DataFrame:
+) -> dict[int, list[float]]:
     """Spherical k-means codebook via Lloyd iterations, fully
     deterministic: init = the k lowest vec_ids; each update sums unit
     vectors per (centroid, dimension) in DECIMAL — exact, so the
@@ -233,7 +238,8 @@ def kmeans_codebook(
     standard topology — at 100 TB k-means trains on a sample and only
     the final assignment pass touches the full corpus. Empty clusters
     keep their previous centroid.
-    Returns (centroid_id, cv, cn) like _seed_centroids.
+    Returns the driver-side dict (centroid_id → components);
+    kmeans_codebook wraps it as a DataFrame.
     """
     spark = e.sparkSession
     centroids = _seed_centroids(e)
@@ -243,8 +249,11 @@ def kmeans_codebook(
     book = {cid: _unit(v) for cid, v in book.items()}
     train = e.filter(F.col("nrm") > 0).localCheckpoint(eager=False)
     for _ in range(iters):
-        cdf = _codebook_df(spark, book)
-        assigned = assign_centroids(train, cdf)
+        # literal-codebook argmax (round-8): bit-identical to the old
+        # crossJoin+Window assign_centroids (same fold dots, same
+        # (-cos, cid) tie-break, no zero-norm rows in `train`) but a
+        # narrow projection — drops one corpus shuffle per Lloyd round.
+        assigned = _assign_book_lit(train, book)
         sums = (
             assigned.select(
                 "centroid_id",
@@ -260,7 +269,15 @@ def kmeans_codebook(
         for cid, comps in new_book.items():
             book[cid] = _unit([comps[d] for d in range(len(comps))])
         # centroids absent from new_book (empty clusters) keep old value
-    return _codebook_df(spark, book)
+    return book
+
+
+def kmeans_codebook(
+    e: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """DataFrame form of kmeans_book — (centroid_id, cv, cn) like
+    _seed_centroids, for callers that join/broadcast the codebook."""
+    return _codebook_df(e.sparkSession, kmeans_book(e, k, iters))
 
 
 def _unit(v: list) -> list:
@@ -280,10 +297,13 @@ IVF_KMEANS_RECALL_MIN = 0.8  # measured 0.9–1.0 at sf0.001/0.01/0.1 (determini
 
 
 def ivf_kmeans_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw trained-codebook ANN neighbor list (recall-pytested form)."""
+    """Raw trained-codebook ANN neighbor list (recall-pytested form).
+
+    Corpus assignment is the literal-codebook argmax projection
+    (bit-identical to the crossJoin+Window form, zero exchange)."""
     e = _prepped(spark, sf_dir)
-    centroids = kmeans_codebook(e)
-    return _ivf_topk(assign_centroids(e, centroids), centroids)
+    book = kmeans_book(e)
+    return _ivf_topk(_assign_book_lit(e, book), _codebook_df(spark, book))
 
 
 @register(
@@ -1048,8 +1068,11 @@ def sim_ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every (hi-lo) % 5, not just the fixture's lucky residue.
     cutoff = lo + math.floor(ANN_INCR_CUTOFF_FRACTION * (hi - lo))
     hist = e.filter(F.col("vec_id") < cutoff)
-    centroids = _seed_centroids(hist)
-    assigned = assign_centroids(e, centroids).select(
+    # same literal-argmax device as sim_topk_ivf: the frozen codebook
+    # is a bounded driver-side constant, so assigning the new batch is
+    # one narrow pass — no corpus shuffle.
+    book = {r["centroid_id"]: list(r["cv"]) for r in _seed_centroids(hist).collect()}
+    assigned = _assign_book_lit(e, book).select(
         "vec_id",
         "centroid_id",
         F.when(F.col("vec_id") < cutoff, 1).otherwise(0).alias("is_hist"),

@@ -460,3 +460,19 @@ def test_ivf_kmeans_sampled_query_is_narrow(spark):
     assert "Arguments: hashpartitioning" not in plan, plan
     assert "Exchange" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivf_family_assignment_is_narrow(spark):
+    """Round-8: IVF-family corpus assignment must be the
+    literal-codebook argmax projection, not the Window argmax — the
+    Window spelling exchanged the ENTIRE corpus on vec_id (the one
+    shuffle a 100 TB index build cannot afford). sim_topk_ivf's whole
+    plan: scan → narrow assign → broadcast probe join → TakeOrdered —
+    the only exchange allowed is the broadcast of the 4-row probe set."""
+    import re
+
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import sim_topk_ivf
+
+    plan = explain_str(sim_topk_ivf(spark, SMOKE_SF))
+    assert "Window" not in plan, plan
+    assert not re.search(r"Arguments: hashpartitioning\(vec_id", plan), plan
