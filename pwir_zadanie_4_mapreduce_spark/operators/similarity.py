@@ -345,6 +345,10 @@ IVF_QUANT_SCALE = 1000000000.0  # unit-vector components quantized to 1e-9 grid
 # 0.686@nprobe4 full-trained — +2 probes buy the sampling loss back
 # (scanned fraction 38% vs 25%). nprobe is the standard IVF recall knob.
 IVF_SAMPLED_NPROBE = 6
+# Lloyd converges on this data by round 2 (50-query avg recall@10 at
+# nprobe=6: 0.686 / 0.684 / 0.684 for 2 / 3 / 5 rounds) — 3 rounds
+# keep a convergence margin at 40% of the training cost.
+IVF_SAMPLED_ITERS = 3
 
 
 def _fold_dot(a: list, b: list) -> float:
@@ -406,7 +410,7 @@ def _assign_book_lit(df: DataFrame, book: dict[int, list[float]]) -> DataFrame:
 
 
 def _sampled_kmeans_book(
-    e: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+    e: DataFrame, k: int = N_CENTROIDS, iters: int = IVF_SAMPLED_ITERS
 ) -> dict[int, list[float]]:
     """Spherical k-means trained on a deterministic md5 ~10% sample —
     the 100 TB spelling of kmeans_codebook: Lloyd never touches the
@@ -479,7 +483,7 @@ def _ivf_kmeans_sampled_oracle() -> str:
         SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
         FROM samp ORDER BY vec_id LIMIT {N_CENTROIDS})""",
     ]
-    for r in range(1, KMEANS_ITERS + 1):
+    for r in range(1, IVF_SAMPLED_ITERS + 1):
         prev = f"cent{r - 1}"
         ctes.append(f"""a{r} AS (
         SELECT s.vec_id, s.v, s.nrm, c.centroid_id
@@ -501,7 +505,7 @@ def _ivf_kmeans_sampled_oracle() -> str:
                sqrt(list_sum(list_transform(COALESCE(n.cv, p.cv),
                                             x -> x * x))) AS cn
         FROM {prev} p LEFT JOIN nc{r} n USING (centroid_id))""")
-    final = f"cent{KMEANS_ITERS}"
+    final = f"cent{IVF_SAMPLED_ITERS}"
     ctes.append(f"""assigned AS (
         SELECT e.vec_id, e.v, e.nrm, c.centroid_id
         FROM e CROSS JOIN {final} c
@@ -527,8 +531,8 @@ def _ivf_kmeans_sampled_oracle() -> str:
 def sim_topk_ivf_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over a SAMPLE-trained spherical k-means codebook —
     the production spelling of sim_topk_ivf_kmeans: Lloyd runs on a
-    deterministic md5 ~10% sample (5 tiny jobs over a checkpointed
-    sample; at 100 TB the sample is bounded and the full corpus is
+    deterministic md5 ~10% sample (3 tiny jobs over a checkpointed
+    sample — see IVF_SAMPLED_ITERS; at 100 TB the sample is bounded and the full corpus is
     touched exactly once, by the final assignment pass), then the
     query probes nprobe=6 of 16 buckets (see IVF_SAMPLED_NPROBE: +2
     probes buy back the sample-training recall loss — 50-query avg
@@ -538,7 +542,7 @@ def sim_topk_ivf_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike the full-corpus variant (recall-bracket oracle), this one
     is a FULL algorithm mirror: integer-quantized Lloyd updates make
     training arithmetic engine-portable, so the DuckDB oracle re-runs
-    seed → 5 Lloyd rounds → assignment → probe → top-k verbatim and
+    seed → Lloyd rounds → assignment → probe → top-k verbatim and
     the ANN output itself hash-matches.
 
     Plan shape: codebook and query vector are driver-side (bounded:
