@@ -303,14 +303,27 @@ def main() -> None:
     # steady-state plan cost — what a warm cluster would pay).
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    extra_runs = 0
     for name in HEADLINE:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(runs_per_query):
             release_storage()
             t0 = time.monotonic()
             materialize(queries[name](spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.monotonic() - t0)
+        # Adaptive third run (round-8): intermittent host stalls hit
+        # random victims — a query whose two runs disagree by >1.4×
+        # may have had BOTH runs land in a stall (observed: untouched
+        # queries reading 2–6× in one bench, normal standalone). High
+        # spread means the measurement is suspect; one more sample
+        # bounds the cost to the noisy queries only.
+        if runs_per_query >= 2 and max(runs) > 1.4 * min(runs):
+            release_storage()
+            t0 = time.monotonic()
+            materialize(queries[name](spark, sf_dir))
+            runs.append(time.monotonic() - t0)
+            extra_runs += 1
+        timings[name] = round(min(runs), 3)
 
     # end-of-run canary: the host band is TIME-VARYING — a fast window
     # at start does not certify the whole run. A degraded end canary
@@ -339,6 +352,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf_val,
             "runs_per_query": runs_per_query,
+            "adaptive_third_runs": extra_runs,
             "aggregation": "min",
             "layout": layout,
             "canary_q1_s": canary_q1_s,
