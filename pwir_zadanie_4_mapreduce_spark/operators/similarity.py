@@ -168,9 +168,7 @@ def _ivf_topk(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "sim_topk_ivf",
-    oracle=f"""
+_IVF_SEED_ORACLE = f"""
     WITH {_E_SQL},
     cent AS (
         SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
@@ -194,8 +192,10 @@ def _ivf_topk(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     WHERE a.vec_id <> {QUERY_VEC_ID}
     ORDER BY {_cos_pre('a.v', 'a.nrm', 'q.qv', 'q.qn')} DESC, a.vec_id
     LIMIT {TOP_K}
-    """,
-)
+    """
+
+
+@register("sim_topk_ivf", oracle=_IVF_SEED_ORACLE)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: probe the query's nearest 4 of 16
     coarse centroids, exact cosine within the probed buckets only.
@@ -220,6 +220,60 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A/B + plan-pinned in test_plans).
     book = {r["centroid_id"]: list(r["cv"]) for r in _seed_centroids(e).collect()}
     return _ivf_topk(_assign_book_lit(e, book), _codebook_df(spark, book))
+
+
+@register("sim_topk_ivf_partitioned", oracle=_IVF_SEED_ORACLE)
+def sim_topk_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_topk_ivf with the 100 TB STORAGE layout actually executed,
+    not just described: the assigned corpus is WRITTEN
+    partitionBy(centroid_id) (the index-build step), and the probe
+    reads it back with an isin filter that Spark turns into PARTITION
+    PRUNING — the executed plan's scan carries PartitionFilters and
+    touches only nprobe of ncentroids directories
+    (test_plans::test_ivf_partitioned_scan_prunes pins both). Same
+    output, and therefore the same full-mirror oracle, as sim_topk_ivf
+    — what changes is WHERE the 75% scan reduction happens: at the
+    source, not in a post-scan filter.
+
+    The write is the one-time index build (here per-run scratch, keyed
+    by sf so concurrent sessions don't collide); the query side is the
+    repeatable part a serving system runs per lookup."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    e = _prepped(spark, sf_dir)
+    book = {r["centroid_id"]: list(r["cv"]) for r in _seed_centroids(e).collect()}
+    path = _os.path.join(
+        _tf.gettempdir(),
+        "spark_graft_ivf_index",
+        _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    (
+        _assign_book_lit(e, book)
+        .select("vec_id", "v", "nrm", "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
+    qv, qn = list(qrow["v"]), qrow["nrm"]
+    scored = []
+    for cid in sorted(book):
+        cv = book[cid]
+        cn = math.sqrt(_fold_dot(cv, cv))
+        scored.append((-(_fold_dot(cv, qv) / (cn * qn)), cid))
+    probes = [cid for _, cid in sorted(scored)[:N_PROBE]]
+    back = spark.read.parquet(path)
+    cos = F.expr(f"{_sql_fold_dot('v', qv)} / (nrm * {_sql_double(qn)})")
+    return (
+        back.filter(F.col("centroid_id").isin(probes))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", dround("cosine", 4).alias("cosine"))
+    )
 
 
 KMEANS_ITERS = 5
