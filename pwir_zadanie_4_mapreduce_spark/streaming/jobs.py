@@ -513,3 +513,200 @@ def run_liststate_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.latest_event_id").alias("latest_event_id"),
         F.col("s.recent_sum").alias("recent_sum"),
     )
+
+
+def _events_stream_split(spark: SparkSession, sf_dir: str, n_batches: int = 2) -> DataFrame:
+    """readStream over the events fixture split into n ts-ordered
+    parquet files, consumed one file per trigger — a DETERMINISTIC
+    multi-micro-batch source (the single-file _events_stream yields
+    exactly one batch, which can never advance a watermark between
+    batches and so can never fire an event-time timer). Files are
+    named in ts order and given strictly increasing mtimes so the
+    file source's (mtime, path) ordering replays them oldest-first.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+
+    tag = hashlib.sha256(f"{table_path(sf_dir, 'events')}:{n_batches}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"pwir_events_split_{tag}_{os.getpid()}")
+    marker = os.path.join(d, "_SPLIT_DONE")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        # ntile over the GLOBAL ts order = n contiguous time slices
+        from pyspark.sql.window import Window
+
+        sliced = ev.withColumn(
+            "slice", F.ntile(n_batches).over(Window.orderBy("ts", "event_id"))
+        )
+        for i in range(1, n_batches + 1):
+            part = sliced.filter(F.col("slice") == i).drop("slice")
+            pdir = os.path.join(d, f"slice_{i:02d}")
+            part.coalesce(1).write.mode("overwrite").parquet(pdir)
+            src = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(pdir, src), os.path.join(d, f"{i:02d}.parquet"))
+            os.utime(os.path.join(d, f"{i:02d}.parquet"), (1000000 + i, 1000000 + i))
+        open(marker, "w").close()
+    schema = spark.read.parquet(os.path.join(d, "01.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "*.parquet"))
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+TIMEOUT_GAP_MIN = 30  # inactivity gap that closes a user's session
+TIMEOUT_WM_DELAY_MIN = 60  # watermark delay (late-data allowance)
+
+
+def run_timer_inactivity_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time TIMERS on transformWithStateInPandas: per user, every
+    event re-arms a timer at last_ts + 30 min; when the watermark
+    passes an armed timer, handleExpiredTimer fires and emits the
+    closed session (user, last_seen, n_events) — the
+    inactivity-timeout pattern (cart abandonment, session close,
+    device-offline alerts) that pure windowed aggs cannot express and
+    polling implementations get wrong at scale (timers are O(armed
+    keys) per batch, maintained by the state store, not a scan).
+
+    Determinism: the split source replays two ts-ordered files, so
+    watermarks advance batch-by-batch exactly as in production, and
+    the final no-data micro-batch (spark.sql.streaming
+    .noDataMicroBatches.enabled default) fires every timer whose
+    expiry <= final watermark = max(ts) - 60 min. Tests mirror that
+    rule in batch: users with max_ts + 30 min <= final watermark,
+    with their total event counts. Same protobuf gate as the other
+    transformWithState jobs.
+    """
+    import google.protobuf  # noqa: F401  (gate: required by the state protocol)
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    gap_us = TIMEOUT_GAP_MIN * 60 * 1_000_000
+
+    class InactivityTimeout(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._last = handle.getValueState("last", "last_ts_us bigint, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last_ts, n = (
+                tuple(self._last.get()) if self._last.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += int(len(pdf))
+                last_ts = max(last_ts, int(pdf["ts_us"].max()))
+            self._last.update((last_ts, n))
+            # re-arm: exactly one live timer per key
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(last_ts // 1000 + gap_us // 1000)
+            return iter(())  # emission happens only on expiry
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            last_ts, n = tuple(self._last.get())
+            if expiredTimerInfo.getExpiryTimeInMs() != last_ts // 1000 + gap_us // 1000:
+                return iter(())  # stale timer (re-armed since)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_seen_us": [last_ts],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    _use_rocksdb(spark)
+    ev = (
+        _events_stream_split(spark, sf_dir)
+        .withWatermark("ts", f"{TIMEOUT_WM_DELAY_MIN} minutes")
+        .select(
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.col("ts"),
+            "user_id",
+        )
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=InactivityTimeout(),
+        outputStructType="user_id bigint, last_seen_us bigint, n_events bigint",
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    return _run_to_memory(out, "append")
+
+
+def run_mapstate_type_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapState on transformWithStateInPandas: per user, a MAP state
+    variable keyed by event_type accumulating (count, value sum) — the
+    per-key-within-key breakdown (feature counters, per-category
+    spend) that ValueState would force into one blob (rewritten whole
+    every batch) and ListState into O(history). MapState updates touch
+    only the map entries present in the batch — at 100 TB/day state
+    I/O is proportional to ACTIVE (user, type) pairs, not all pairs.
+
+    Emits one row per (user, event_type) after each batch; tests keep
+    the final row per pair and diff against the batch groupBy. Same
+    protobuf gate as the other transformWithState jobs."""
+    import google.protobuf  # noqa: F401  (gate: required by the state protocol)
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TypeBreakdown(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState("by_type", "event_type string", "n bigint, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            touched = {}
+            for pdf in rows:
+                for et, val in zip(pdf["event_type"], pdf["value"]):
+                    et = str(et)
+                    if et not in touched:
+                        touched[et] = (
+                            tuple(self._m.getValue((et,)))
+                            if self._m.containsKey((et,))
+                            else (0, 0.0)
+                        )
+                    n, s = touched[et]
+                    touched[et] = (n + 1, s + float(val))
+            rows_out = []
+            for et, (n, s) in touched.items():
+                self._m.updateValue((et,), (n, s))
+                rows_out.append((key[0], et, n, round(s, 4)))
+            rows_out.sort(key=lambda r: r[1])
+            yield pd.DataFrame(
+                rows_out, columns=["user_id", "event_type", "n_events", "sum_value"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    _use_rocksdb(spark)
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeBreakdown(),
+        outputStructType=(
+            "user_id bigint, event_type string, n_events bigint, sum_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    raw = _run_to_memory(out, "update")
+    latest = F.max(F.struct("n_events", "sum_value")).alias("s")
+    return raw.groupBy("user_id", "event_type").agg(latest).select(
+        "user_id",
+        "event_type",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.sum_value").alias("sum_value"),
+    )

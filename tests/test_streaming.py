@@ -251,3 +251,68 @@ def test_liststate_recent_events_equals_batch(spark):
         assert got[k][0] == want[k][0], (k, got[k], want[k])
         assert got[k][1] == want[k][1], (k, got[k], want[k])
         assert abs(got[k][2] - want[k][2]) < 1e-6, (k, got[k], want[k])
+
+
+def test_mapstate_type_breakdown_equals_batch(spark):
+    """MapState per-(user, event_type) breakdown must equal the batch
+    groupBy over both keys."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import run_mapstate_type_breakdown
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in run_mapstate_type_breakdown(spark, SMOKE_SF).collect()
+    }
+    batch = (
+        load_table(spark, SMOKE_SF, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+    )
+    want = {(r["user_id"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert abs(got[k][1] - want[k][1]) < 1e-6, (k, got[k], want[k])
+
+
+def test_timer_inactivity_timeout_equals_batch(spark):
+    """Event-time timers: a user's timeout row fires iff their armed
+    expiry (max_ts + GAP) is <= the final watermark (global max ts −
+    delay), with their full event count — the batch mirror of the
+    inactivity-timeout semantics."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (
+        TIMEOUT_GAP_MIN,
+        TIMEOUT_WM_DELAY_MIN,
+        run_timer_inactivity_timeout,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["last_seen_us"], r["n_events"])
+        for r in run_timer_inactivity_timeout(spark, SMOKE_SF).collect()
+    }
+    ev = load_table(spark, SMOKE_SF, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    max_all = ev.agg(F.max("ts_us")).first()[0]
+    final_wm_ms = max_all // 1000 - TIMEOUT_WM_DELAY_MIN * 60 * 1000
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_us"), F.count("*").alias("n")
+    )
+    want = {
+        r["user_id"]: (r["last_us"], r["n"])
+        for r in per_user.collect()
+        if r["last_us"] // 1000 + TIMEOUT_GAP_MIN * 60 * 1000 <= final_wm_ms
+    }
+    assert got == want, (
+        sorted(set(want) - set(got)),
+        sorted(set(got) - set(want)),
+    )
