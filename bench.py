@@ -48,6 +48,7 @@ HEADLINE = [
     "sample_hash_orders",
     "dedup_exact",
     "dedup_incremental_new_docs",
+    "dedup_incremental_minhash",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_dfcap",
     "dedup_minhash_lsh",

@@ -25,6 +25,8 @@ band/permutation id into the input, and JVM-side.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -409,6 +411,99 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+INCR_LSH_CUTOFF_FRACTION = 0.8  # doc_id below lo+0.8*(hi-lo) = the standing index
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) from a 32-perm signature frame —
+    the LSH index rows; at 100 TB this IS the stored index table,
+    bucketed by (band_id, band_hash)."""
+    bands = MINHASH_PERMS // MINHASH_BAND_ROWS
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"m{b * MINHASH_BAND_ROWS + r}") for r in range(MINHASH_BAND_ROWS)]
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash")
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WORDS - 1}], ' '))) AS sh
+        FROM documents),
+    b AS (SELECT MIN(doc_id) + CAST(FLOOR({INCR_LSH_CUTOFF_FRACTION}
+                 * (MAX(doc_id) - MIN(doc_id))) AS BIGINT) AS cutoff
+          FROM documents)
+    SELECT h.doc_id AS hist_doc, n.doc_id AS new_doc,
+           ROUND(len(list_intersect(h.sh, n.sh))::DOUBLE
+                 / (len(h.sh) + len(n.sh) - len(list_intersect(h.sh, n.sh))), 4) AS jaccard
+    FROM t h, t n, b
+    WHERE h.doc_id < b.cutoff AND n.doc_id >= b.cutoff
+      AND len(list_intersect(h.sh, n.sh))::DOUBLE
+          / (len(h.sh) + len(n.sh) - len(list_intersect(h.sh, n.sh))) >= {JACCARD_THRESHOLD}
+    ORDER BY new_doc, hist_doc
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest: the new batch (doc_id above the
+    80% cutoff — standing in for today's crawl) is checked against the
+    STANDING LSH index (history band keys) — the daily-ingest shape
+    for minhash dedup, complementing dedup_incremental_new_docs
+    (exact digests) the way sim_ann_incremental_assign complements
+    the IVF build. Emits (hist_doc, new_doc, jaccard) for verified
+    matches; new-vs-new duplicates are the NEXT day's history problem
+    and deliberately out of scope (mirrored by the oracle's cutoff
+    split on both sides).
+
+    100 TB: history signatures/band keys are the PRE-BUILT index table
+    (computed once at ingest, bucketed by band key — here recomputed
+    so the query is self-contained and oracle-checkable); per ingest
+    only the new batch is shingled + signed, the band join ships
+    (band key, doc_id) pairs only and probes the bucketed index
+    without a full shuffle, and exact-Jaccard verification touches
+    candidate pairs only. Recall story and oracle form inherited from
+    dedup_minhash_lsh: every emitted pair is exact-verified, banding
+    recall is 100% on the frozen fixtures (the crossing pairs are a
+    subset of the full pair set the minhash recall test pins), so the
+    mirror is the exhaustive cutoff-split join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cutoff = lo + math.floor(INCR_LSH_CUTOFF_FRACTION * (hi - lo))
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    hist_sh = sh.filter(F.col("doc_id") < cutoff)
+    new_sh = sh.filter(F.col("doc_id") >= cutoff)
+    hist_bands = _band_keys(
+        minhash_signature_agg(hist_sh.select("doc_id", F.explode("hs").alias("h")))
+    ).select(F.col("doc_id").alias("hist_doc"), "band_id", "band_hash")
+    new_bands = _band_keys(
+        minhash_signature_agg(new_sh.select("doc_id", F.explode("hs").alias("h")))
+    ).select(F.col("doc_id").alias("new_doc"), "band_id", "band_hash")
+    candidates = (
+        new_bands.join(hist_bands, ["band_id", "band_hash"])
+        .select("hist_doc", "new_doc")
+        .dropDuplicates(["hist_doc", "new_doc"])
+    )
+    sh_h = hist_sh.select(F.col("doc_id").alias("hist_doc"), F.col("hs").alias("sh_h"))
+    sh_n = new_sh.select(F.col("doc_id").alias("new_doc"), F.col("hs").alias("sh_n"))
+    verified = candidates.join(sh_h, "hist_doc").join(sh_n, "new_doc")
+    n_common = F.size(F.array_intersect("sh_h", "sh_n"))
+    jac = n_common.cast("double") / (F.size("sh_h") + F.size("sh_n") - n_common)
+    return (
+        verified.filter(jac >= JACCARD_THRESHOLD)
+        .select("hist_doc", "new_doc", dround(jac, 4).alias("jaccard"))
+        .orderBy("new_doc", "hist_doc")
     )
 
 
