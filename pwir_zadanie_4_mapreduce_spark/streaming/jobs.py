@@ -710,3 +710,89 @@ def run_mapstate_type_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_events").alias("n_events"),
         F.col("s.sum_value").alias("sum_value"),
     )
+
+
+def run_initialstate_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with INITIAL STATE: per-user totals
+    are bootstrapped from a batch snapshot (the first time slice,
+    standing in for yesterday's warehouse aggregate) via
+    handleInitialState, then the stream replays ONLY the second slice
+    and increments — the restore-from-warehouse shape every production
+    stateful job needs on day one (no replaying a year of history to
+    rebuild state). Final per-user totals for users active in the
+    streamed slice must equal the FULL batch aggregate over both
+    slices; tests pin exactly that. Same protobuf gate as the other
+    transformWithState jobs."""
+    import google.protobuf  # noqa: F401  (gate: required by the state protocol)
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class BootstrappedTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("tot", "n bigint, s double")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._tot.update((int(initialState["n"][0]), float(initialState["s"][0])))
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = tuple(self._tot.get()) if self._tot.exists() else (0, 0.0)
+            for pdf in rows:
+                n += int(len(pdf))
+                s += float(pdf["value"].sum())
+            self._tot.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(s, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    _use_rocksdb(spark)
+    # deterministic ts split shared with _events_stream_split: slice 1
+    # is the snapshot, slice 2 is the live stream
+    import os
+
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+
+    stream_all = _events_stream_split(spark, sf_dir)  # ensures the split exists
+    split_dir = None
+    # the split helper derives its dir deterministically; recover it
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha256(f"{table_path(sf_dir, 'events')}:2".encode()).hexdigest()[:12]
+    split_dir = os.path.join(
+        tempfile.gettempdir(), f"pwir_events_split_{tag}_{os.getpid()}"
+    )
+    snapshot = spark.read.parquet(os.path.join(split_dir, "01.parquet"))
+    if dict(snapshot.dtypes).get("ts") == "bigint":
+        snapshot = snapshot.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    initial = (
+        snapshot.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .groupBy("user_id")
+    )
+    # the file stream source needs a DIRECTORY; give slice 2 its own
+    live_dir = os.path.join(split_dir, "live")
+    os.makedirs(live_dir, exist_ok=True)
+    live_link = os.path.join(live_dir, "02.parquet")
+    if not os.path.exists(live_link):
+        os.symlink(os.path.join(split_dir, "02.parquet"), live_link)
+    schema = spark.read.parquet(os.path.join(split_dir, "02.parquet")).schema
+    live = spark.readStream.schema(schema).parquet(live_dir)
+    if dict(live.dtypes).get("ts") == "bigint":
+        live = live.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = live.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=BootstrappedTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+        initialState=initial,
+    )
+    raw = _run_to_memory(out, "update")
+    latest = F.max(F.struct("n_events", "total_value")).alias("s")
+    return raw.groupBy("user_id").agg(latest).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.total_value").alias("total_value"),
+    )

@@ -316,3 +316,32 @@ def test_timer_inactivity_timeout_equals_batch(spark):
         sorted(set(want) - set(got)),
         sorted(set(got) - set(want)),
     )
+
+
+def test_initialstate_totals_equal_full_batch(spark):
+    """InitialState bootstrap: users active in the streamed slice must
+    report totals equal to the FULL batch aggregate (snapshot slice +
+    streamed slice) — proving the warehouse bootstrap actually seeded
+    the state rather than starting from zero."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import run_initialstate_user_totals
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in run_initialstate_user_totals(spark, SMOKE_SF).collect()
+    }
+    assert got, "no users active in the streamed slice at this sf"
+    full = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load_table(spark, SMOKE_SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    }
+    for k, (n, s) in got.items():
+        assert n == full[k][0], (k, got[k], full[k])
+        assert abs(s - full[k][1]) < 1e-6, (k, got[k], full[k])
