@@ -1651,6 +1651,69 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pos", "token", "token_len").orderBy("doc_id", "pos")
 
 
+UDTF_TOPK = 3  # constant arg; analyze() derives tok_1..tok_k from it
+
+
+@register(
+    "udtf_dynamic_topk_tokens",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY length(tok) DESC, tok) AS rk
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents WHERE doc_id < 5))
+    SELECT doc_id,
+           MAX(CASE WHEN rk = 1 THEN tok END) AS tok_1,
+           MAX(CASE WHEN rk = 2 THEN tok END) AS tok_2,
+           MAX(CASE WHEN rk = 3 THEN tok END) AS tok_3
+    FROM toks GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def udtf_dynamic_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 analyze()): the output schema
+    is not declared statically — analyze() reads the constant k
+    argument at plan time and emits k columns tok_1..tok_k, the
+    dynamic-schema table-function surface (pivot-like UDTFs, variable
+    feature extractors) that a fixed returnType cannot express.
+    Returns each document's k longest tokens (ties to lexicographic),
+    one wide row per doc; the oracle mirrors k=3 with a rank pivot.
+
+    Like every row-wise Python surface, declared the SLOW path — the
+    value under test is the analyze-time schema derivation and
+    LATERAL plumbing, both of which run identically at any scale."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class TopKTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(k.value)):
+                schema = schema.add(f"tok_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, k: int):
+            toks = sorted(
+                (t for t in (text or "").split() if t),
+                key=lambda t: (-len(t), t),
+            )[:k]
+            yield tuple(toks) + (None,) * (k - len(toks))
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", "text")
+    )
+    out = docs.lateralJoin(TopKTokens(F.col("text").outer(), lit(UDTF_TOPK)))
+    cols = ["doc_id"] + [f"tok_{i + 1}" for i in range(UDTF_TOPK)]
+    return out.select(*cols).orderBy("doc_id")
+
+
 @register(
     "scalar_try_arithmetic",
     oracle="""
