@@ -244,10 +244,12 @@ def sim_topk_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _prepped(spark, sf_dir)
     book = {r["centroid_id"]: list(r["cv"]) for r in _seed_centroids(e).collect()}
+    # pid-keyed like the stream scratch dirs: concurrent sessions at
+    # the same sf must not overwrite each other's index mid-read
     path = _os.path.join(
         _tf.gettempdir(),
         "spark_graft_ivf_index",
-        _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+        f"{_hl.sha256(sf_dir.encode()).hexdigest()[:12]}_{_os.getpid()}",
     )
     (
         _assign_book_lit(e, book)
