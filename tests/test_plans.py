@@ -367,9 +367,10 @@ def test_registry_wide_plan_lint(spark):
     1. CartesianProduct: banned outright — even the declared dim×dim
        pair query must plan as a broadcast nested-loop, never a
        shuffle cartesian.
-    2. Row-wise Python evaluation (BatchEvalPython*): only the two
+    2. Row-wise Python evaluation (BatchEvalPython*): only the three
        DECLARED slow-path surface demos (the rowwise-UDF comparison
-       query and the Python UDTF, which has no JVM spelling).
+       query and the two Python UDTFs — static-schema and
+       analyze-time-polymorphic — which have no JVM spelling).
     3. Unpartitioned (global) windows: only queries whose window input
        is provably bounded — per-group AGGREGATE frames (gini/pareto/
        yoy/backlog/compaction/ks/cusum/rfm run over per-customer,
@@ -383,7 +384,11 @@ def test_registry_wide_plan_lint(spark):
 
     from pwir_zadanie_4_mapreduce_spark.operators.registry import QUERIES
 
-    PY_EVAL_OK = {"udf_python_rowwise_priority", "udtf_tokenize_positions"}
+    PY_EVAL_OK = {
+        "udf_python_rowwise_priority",
+        "udtf_tokenize_positions",
+        "udtf_dynamic_topk_tokens",
+    }
     GLOBAL_WINDOW_OK = {
         "agg_equidepth_histogram",       # per-value counts; binned sibling
         "events_rfm_segments",           # per-user aggregate; binned sibling
