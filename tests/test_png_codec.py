@@ -65,3 +65,33 @@ def test_wrong_pixel_count_rejected(codec):
     encode_png, _ = codec
     with pytest.raises(ValueError, match="length"):
         encode_png(4, 4, bytes(15))
+
+
+def test_roundtrip_property(codec):
+    """Property: any grayscale image round-trips bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    encode_png, decode_png = codec
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def check(w, h, seed):
+        # xorshift-ish deterministic bytes from the seed (hypothesis
+        # shrinks over (w, h, seed) — cheaper than a raw bytes strategy
+        # that must match w*h exactly)
+        x, out = seed or 1, bytearray()
+        for _ in range(w * h):
+            x ^= (x << 13) & 0xFFFFFFFF
+            x ^= x >> 17
+            x ^= (x << 5) & 0xFFFFFFFF
+            out.append(x & 0xFF)
+        px = bytes(out)
+        gw, gh, got = decode_png(encode_png(w, h, px))
+        assert (gw, gh) == (w, h) and bytes(got) == px
+
+    check()
