@@ -177,3 +177,19 @@ def test_incremental_assign_total_and_deterministic(spark):
     assert all(r["n_history"] >= 1 for r in rows)
     again = similarity.sim_ann_incremental_assign(spark, SMOKE_SF).collect()
     assert rows == again
+
+
+def test_int8_quantized_recall(spark):
+    """Scalar-quantized ranking must stay close to exact cosine:
+    recall@10 >= 0.7 on the fixtures (measured 0.8-1.0; int8 min-max
+    quantization loses ~1/255 per-dim resolution). Note qdot ranks by
+    unnormalized quantized DOT — on unit-norm fixtures that tracks
+    cosine; the floor guards a quantization regression."""
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import (
+        sim_topk_bruteforce,
+        sim_topk_int8_quantized,
+    )
+
+    exact = {r["vec_id"] for r in sim_topk_bruteforce(spark, SMOKE_SF).collect()}
+    got = {r["vec_id"] for r in sim_topk_int8_quantized(spark, SMOKE_SF).collect()}
+    assert len(got & exact) / len(exact) >= 0.7, (sorted(got), sorted(exact))
