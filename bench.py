@@ -59,6 +59,7 @@ HEADLINE = [
     "sim_topk_ivf",
     "sim_topk_ivf_kmeans_sampled",
     "sim_topk_int8_quantized",
+    "sim_topk_int8_rerank",
     "text_quality_score",
     "multimodal_decode_features",
     "multimodal_png_decode_stats",

@@ -695,6 +695,81 @@ def sim_topk_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RERANK_CANDIDATES = 50  # stage-1 int8 shortlist width
+
+
+@register(
+    "sim_topk_int8_rerank",
+    oracle=f"""
+    WITH {_E_SQL},
+    px AS (SELECT vec_id, g.d, v[g.d] AS x
+           FROM e, generate_series(1, {EMB_DIM}) AS g(d)),
+    sc AS (SELECT MAX(ABS(x)) / {INT8_QMAX}.0 AS s FROM px),
+    q AS (SELECT vec_id, px.d,
+                 CAST(FLOOR(x / s + 0.5) AS BIGINT) AS qv
+          FROM px CROSS JOIN sc),
+    qq AS (SELECT d, qv AS qqv FROM q WHERE vec_id = {QUERY_VEC_ID}),
+    shortlist AS (
+        SELECT q.vec_id
+        FROM q JOIN qq USING (d)
+        WHERE q.vec_id <> {QUERY_VEC_ID}
+        GROUP BY q.vec_id
+        ORDER BY SUM(q.qv * qq.qqv) DESC, q.vec_id
+        LIMIT {RERANK_CANDIDATES}),
+    qv AS (SELECT v AS qvec, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND({_cos_pre('e.v', 'e.nrm', 'qv.qvec', 'qv.qn')}, 4) AS cosine
+    FROM e JOIN shortlist USING (vec_id) CROSS JOIN qv
+    ORDER BY {_cos_pre('e.v', 'e.nrm', 'qv.qvec', 'qv.qn')} DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval — the production serving shape: stage 1
+    scans the int8-quantized corpus (4× less I/O, exact integer
+    ranking) for a 50-candidate shortlist; stage 2 re-ranks ONLY the
+    shortlist with exact float cosine. Recall is effectively exact
+    (the shortlist is 5× the answer size and int8 recall is already
+    ~1.0) at a quarter of the scan bytes — at 100 TB stage 1 reads the
+    stored int8 column and stage 2 fetches 50 float vectors by id.
+
+    Both stages are engine-portable (integer dot; fold-ordered float
+    cosine), so the oracle re-runs the full cascade and the output
+    hash-matches."""
+    e = _prepped(spark, sf_dir)
+    # stage 1: the int8 ranking of sim_topk_int8_quantized, widened to
+    # RERANK_CANDIDATES
+    amax = e.select(
+        F.max(F.expr("aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
+    ).first()[0]
+    scale = amax / float(INT8_QMAX)
+    quant = f"transform(v, x -> CAST(FLOOR(x / {_sql_double(scale)} + 0.5) AS BIGINT))"
+    eq = e.withColumn("q", F.expr(quant))
+    qrow = eq.filter(F.col("vec_id") == QUERY_VEC_ID).select("q", "v", "nrm").first()
+    qq_sql = "array(" + ", ".join(f"{int(x)}L" for x in qrow["q"]) + ")"
+    qdot = F.expr(
+        f"aggregate(zip_with(q, {qq_sql}, (a, b) -> a * b), 0L, (acc, t) -> acc + t)"
+    )
+    cand = (
+        eq.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), "vec_id")
+        .limit(RERANK_CANDIDATES)
+        .select("vec_id")
+    )
+    # stage 2: exact cosine on the candidate ids only (broadcast the
+    # 50-row shortlist; at scale this is an id-lookup, not a scan)
+    qv, qn = list(qrow["v"]), qrow["nrm"]
+    cos = F.expr(f"{_sql_fold_dot('v', qv)} / (nrm * {_sql_double(qn)})")
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", dround("cosine", 4).alias("cosine"))
+    )
+
+
 N_HYPERPLANES = 8
 N_PROBE_BITS = 3  # probe all buckets within this Hamming distance
 
