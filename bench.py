@@ -78,6 +78,7 @@ HEADLINE = [
     "join_range_binned",
     "pipeline_pack_sequences",
     "graph_pagerank_fixed",
+    "graph_label_propagation",
     "quality_expectations",
     "dedup_substring_span",
     # round-3 additions: stats/sketch/LM/graph/warehouse families

@@ -767,6 +767,94 @@ PAGERANK_ITERS = 3
 PAGERANK_SCALE = 1_000_000_000_000  # ranks in units of 1e-12
 
 
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """DuckDB mirror of graph_label_propagation: the co-purchase edge
+    CTE (basket_part_pairs' oracle) + LPA_ROUNDS unrolled synchronous
+    label updates (weighted mode, ties to the lowest label)."""
+    from pwir_zadanie_4_mapreduce_spark.operators.analytics import BASKET_MIN_SUPPORT
+
+    ctes = [
+        """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        f"""pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_SUPPORT})""",
+        """edges AS (SELECT part_a AS u, part_b AS v, support FROM pairs
+                 UNION ALL
+                 SELECT part_b, part_a, support FROM pairs)""",
+        """l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)""",
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        ctes.append(f"""l{r} AS (
+        SELECT e.u AS node, l.label
+        FROM edges e JOIN l{r - 1} l ON l.node = e.v
+        GROUP BY e.u, l.label
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.u
+            ORDER BY SUM(e.support) DESC, l.label) = 1)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS part, label AS community
+    FROM l{LPA_ROUNDS} ORDER BY part
+    """
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation communities over the co-purchase
+    graph (edges = part pairs bought together in >= 3 orders, weight =
+    support): LPA_ROUNDS synchronous rounds, each node adopting the
+    label with the highest incident support sum (ties to the lowest
+    label) — the communities primitive complementing components (pure
+    connectivity) and pagerank (centrality). Fully deterministic:
+    integer weights, explicit tie-break, synchronous updates — so the
+    oracle re-runs all rounds verbatim (the unrolled-CTE device the
+    sampled-IVF training mirror established).
+
+    Plan: one basket shuffle builds edges (collect_set fan-out, no
+    self-join), then each round is join + two integer aggregations —
+    no Window, labels checkpointed per round (lineage stays flat, the
+    pagerank/components loop discipline). At 100 TB rounds are
+    edge-partitioned joins against an id→label frame: O(E) shuffle of
+    ids and labels only, never payloads."""
+    pairs = basket_part_pairs(spark, sf_dir).select("part_a", "part_b", "support")
+    edges = (
+        pairs.select(
+            F.col("part_a").alias("u"), F.col("part_b").alias("v"), "support"
+        )
+        .unionAll(
+            pairs.select(
+                F.col("part_b").alias("u"), F.col("part_a").alias("v"), "support"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(LPA_ROUNDS):
+        nb = edges.join(labels, edges["v"] == labels["node"]).select(
+            edges["u"].alias("n"), "label", "support"
+        )
+        votes = nb.groupBy("n", "label").agg(F.sum("support").alias("w"))
+        labels = (
+            votes.groupBy("n")
+            .agg(F.min(F.struct((-F.col("w")).alias("nw"), F.col("label"))).alias("s"))
+            .select(F.col("n").alias("node"), F.col("s.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").alias("part"), F.col("label").alias("community")
+    ).orderBy("part")
+
+
 @register(
     "graph_pagerank_fixed",
     oracle=f"""
