@@ -373,8 +373,11 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters mean the same nprobe=4/16 probes capture more true
     neighbors than the untrained variant.
 
-    Bracket oracle (the agg_hll_sketch_users technique, the one ANN
-    variant whose 5 Lloyd rounds are impractical to mirror in SQL):
+    Bracket oracle (the agg_hll_sketch_users technique): this
+    variant keeps DECIMAL-sum training (exact but not SQL-portable);
+    sim_topk_ivf_kmeans_sampled is the fully-mirrored production
+    spelling (integer-quantized updates make its rounds portable).
+    The bracket here:
     the registered spelling emits the EXACT cosine top-k (hash-matched
     cross-engine, same rows as sim_topk_bruteforce) plus a boolean
     attesting the trained-ANN result — still fully computed in-plan by
