@@ -193,3 +193,31 @@ def test_int8_quantized_recall(spark):
     exact = {r["vec_id"] for r in sim_topk_bruteforce(spark, SMOKE_SF).collect()}
     got = {r["vec_id"] for r in sim_topk_int8_quantized(spark, SMOKE_SF).collect()}
     assert len(got & exact) / len(exact) >= 0.7, (sorted(got), sorted(exact))
+
+
+def test_sql_double_literals_roundtrip_exactly(spark):
+    """The literal-codebook device depends on CAST('repr(x)' AS
+    DOUBLE) reproducing the Python double BIT-EXACTLY — pin it over a
+    mix of adversarial and hypothesis-style values in one batch."""
+    import math
+    import struct as st
+
+    from pyspark.sql import functions as F
+
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import _sql_double
+
+    vals = [0.1, 1e-300, 1e300, -2.5e-10, 1.0000000000000002, 3.141592653589793,
+            -0.0, 5e-324, 1.7976931348623157e308, 123456789.123456789]
+    # xorshift doubles across magnitudes
+    x = 88172645463325252
+    for _ in range(200):
+        x ^= (x << 13) & (2**64 - 1)
+        x ^= x >> 7
+        x ^= (x << 17) & (2**64 - 1)
+        d = st.unpack("<d", st.pack("<Q", x))[0]
+        if math.isfinite(d):
+            vals.append(d)
+    expr = "array(" + ", ".join(_sql_double(v) for v in vals) + ")"
+    got = spark.range(1).select(F.expr(expr).alias("a")).first()["a"]
+    for want, g in zip(vals, got):
+        assert st.pack("<d", want) == st.pack("<d", g), (want, g)
