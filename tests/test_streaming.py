@@ -345,3 +345,31 @@ def test_initialstate_totals_equal_full_batch(spark):
     for k, (n, s) in got.items():
         assert n == full[k][0], (k, got[k], full[k])
         assert abs(s - full[k][1]) < 1e-6, (k, got[k], full[k])
+
+
+def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Stop + restart recovery: phase 1 streams slice 1 and stops;
+    phase 2 is a NEW query on the same checkpoint seeing slice 2.
+    Final totals must equal the FULL batch aggregate — state was
+    recovered (not reset) and slice 1 was not reprocessed."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import run_restartable_user_totals
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in run_restartable_user_totals(
+            spark, SMOKE_SF, str(tmp_path / "restart")
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load_table(spark, SMOKE_SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert abs(got[k][1] - want[k][1]) < 1e-6, (k, got[k], want[k])
