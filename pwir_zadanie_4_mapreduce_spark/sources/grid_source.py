@@ -114,3 +114,51 @@ def grid_reader_partitions(n: int, partitions: int):
     cls = make_laplace_grid_datasource()
     src = cls(options={"n": str(n), "partitions": str(partitions)})
     return src.reader(None).partitions()
+
+
+def make_tick_stream_datasource():
+    """Python STREAMING data source (Spark 4 SimpleDataSourceStreamReader):
+    a deterministic bounded ticker — each micro-batch emits
+    ``rows_per_batch`` rows of (tick, value = (tick*31) % 97 / 10) until
+    ``total`` ticks have been produced, then reports no new data (the
+    offset stops advancing, so processAllAvailable terminates). The
+    offset dict {"pos": N} is the exactly-once contract: Spark persists
+    it in the checkpoint and replays from it on restart.
+
+    Closure-scoped like the batch grid source: workers and the
+    streaming offset thread unpickle the class by value."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class TickStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.rows_per_batch = int(options.get("rows_per_batch", 100))
+            self.total = int(options.get("total", 1000))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = int(start["pos"])
+            end = min(pos + self.rows_per_batch, self.total)
+            rows = [(t, ((t * 31) % 97) / 10.0) for t in range(pos, end)]
+            return iter(rows), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            # replay path (restart recovery): regenerate deterministically
+            return iter(
+                (t, ((t * 31) % 97) / 10.0)
+                for t in range(int(start["pos"]), int(end["pos"]))
+            )
+
+    class TickStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "pwir_tick_stream"
+
+        def schema(self):
+            return "tick bigint not null, value double not null"
+
+        def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+            return TickStreamReader(self.options)
+
+    return TickStreamDataSource

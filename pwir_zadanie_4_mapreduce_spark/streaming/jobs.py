@@ -867,3 +867,33 @@ def run_restartable_user_totals(spark: SparkSession, sf_dir: str, out_dir: str) 
     q2.processAllAvailable()
     q2.stop()
     return spark.read.parquet(totals_dir)
+
+
+def run_python_stream_source(spark: SparkSession, rows_per_batch: int = 128, total: int = 1000) -> DataFrame:
+    """Structured Streaming from a PYTHON data source — the Spark 4
+    API that lets a custom system (queue, ticker, internal feed) feed
+    a stream without a JVM connector. The bounded deterministic ticker
+    (sources/grid_source.make_tick_stream_datasource) emits `total`
+    rows across ceil(total/rows_per_batch) micro-batches; the job
+    aggregates per value-residue counts and sums. Tests diff against
+    the closed-form batch computation of the same formula."""
+    from pwir_zadanie_4_mapreduce_spark.sources.grid_source import (
+        make_tick_stream_datasource,
+    )
+
+    _use_rocksdb(spark)
+    spark.dataSource.register(make_tick_stream_datasource())
+    ticks = (
+        spark.readStream.format("pwir_tick_stream")
+        .option("rows_per_batch", str(rows_per_batch))
+        .option("total", str(total))
+        .load()
+    )
+    agg = (
+        ticks.groupBy((F.col("tick") % 7).alias("residue"))
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete")

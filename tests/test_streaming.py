@@ -373,3 +373,19 @@ def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0], (k, got[k], want[k])
         assert abs(got[k][1] - want[k][1]) < 1e-6, (k, got[k], want[k])
+
+
+def test_python_stream_source_equals_closed_form(spark):
+    """The Python streaming data source must deliver exactly `total`
+    deterministic rows across micro-batches — per-residue counts and
+    sums equal the closed-form computation."""
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import run_python_stream_source
+
+    rows = run_python_stream_source(spark, rows_per_batch=128, total=1000).collect()
+    got = {r["residue"]: (r["n"], r["sum_value"]) for r in rows}
+    want = {}
+    for t in range(1000):
+        r = t % 7
+        n, s = want.get(r, (0, 0.0))
+        want[r] = (n + 1, s + ((t * 31) % 97) / 10.0)
+    assert got == {r: (n, round(s, 4)) for r, (n, s) in want.items()}
