@@ -348,52 +348,7 @@ def _codebook_df(spark: SparkSession, book: dict) -> DataFrame:
 
 
 IVF_KMEANS_RECALL_MIN = 0.8  # measured 0.9–1.0 at sf0.001/0.01/0.1 (deterministic);
-# the bracket threshold sits just under the measured floor so a recall
-# regression to the old 0.5 attestation level now FAILS the oracle.
-
-
-def ivf_kmeans_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw trained-codebook ANN neighbor list (recall-pytested form).
-
-    Corpus assignment is the literal-codebook argmax projection
-    (bit-identical to the crossJoin+Window form, zero exchange)."""
-    e = _prepped(spark, sf_dir)
-    book = kmeans_book(e)
-    return _ivf_topk(_assign_book_lit(e, book), _codebook_df(spark, book))
-
-
-@register(
-    "sim_topk_ivf_kmeans",
-    oracle=_BRUTE_SQL.format(extra_cols=",\n           TRUE AS ann_recall_ok"),
-)
-def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k over a trained spherical k-means codebook: Lloyd
-    iterations (deterministic, see kmeans_codebook) replace the seed
-    centroids, so buckets follow the data distribution — tighter
-    clusters mean the same nprobe=4/16 probes capture more true
-    neighbors than the untrained variant.
-
-    Bracket oracle (the agg_hll_sketch_users technique): this
-    variant keeps DECIMAL-sum training (exact but not SQL-portable);
-    sim_topk_ivf_kmeans_sampled is the fully-mirrored production
-    spelling (integer-quantized updates make its rounds portable).
-    The bracket here:
-    the registered spelling emits the EXACT cosine top-k (hash-matched
-    cross-engine, same rows as sim_topk_bruteforce) plus a boolean
-    attesting the trained-ANN result — still fully computed in-plan by
-    ivf_kmeans_topk_ann — recovers ≥ {IVF_KMEANS_RECALL_MIN:.0%} of it
-    (deterministic for fixed data; the raw neighbor-list spelling stays
-    recall-pytested in tests/test_similarity.py)."""
-    ann = ivf_kmeans_topk_ann(spark, sf_dir).select("vec_id")
-    exact = sim_topk_bruteforce(spark, sf_dir)
-    flag = (
-        exact.join(ann, "vec_id", "left_semi")
-        .agg(F.count("*").alias("n_hit"))
-        .select(
-            (F.col("n_hit") >= int(IVF_KMEANS_RECALL_MIN * TOP_K)).alias("ann_recall_ok")
-        )
-    )
-    return exact.crossJoin(F.broadcast(flag))
+# pytest floor for the trained-codebook ANN recall vs brute force.
 
 
 IVF_SAMPLE_MOD = 10  # md5(vec_id) % 10 == 0 → deterministic ~10% training sample
@@ -468,18 +423,21 @@ def _assign_book_lit(df: DataFrame, book: dict[int, list[float]]) -> DataFrame:
     )
 
 
-def _sampled_kmeans_book(
-    e: DataFrame, k: int = N_CENTROIDS, iters: int = IVF_SAMPLED_ITERS
+def _quantized_kmeans_book(
+    e: DataFrame,
+    k: int = N_CENTROIDS,
+    iters: int = IVF_SAMPLED_ITERS,
+    sample_mod: int | None = None,
 ) -> dict[int, list[float]]:
-    """Spherical k-means trained on a deterministic md5 ~10% sample —
-    the 100 TB spelling of kmeans_codebook: Lloyd never touches the
-    full corpus, only the bounded sample (at 100 TB the MOD is chosen
-    to cap the sample; here 10% of the fixture). Returns the
-    driver-side codebook dict (k×dim — the bounded-collect contract).
+    """Spherical k-means with ENGINE-PORTABLE arithmetic, optionally on
+    a deterministic md5 sample (sample_mod=m keeps vec_ids whose md5
+    lands in bucket 0 of m — the 100 TB spelling where Lloyd never
+    touches the full corpus; sample_mod=None trains on every non-zero
+    vector). Returns the driver-side codebook dict (k×dim — the
+    bounded-collect contract).
 
     Every arithmetic step is engine-portable so DuckDB can re-run the
-    training verbatim (full hash oracle, unlike the full-corpus
-    variant's recall bracket):
+    training verbatim (full hash oracle — no recall bracket needed):
     - unit-vector components are quantized to int64 on a 1e-9 grid
       (FLOOR((x/nrm) * 1e9) — floor of the same double is the same
       int in every engine), so per-centroid sums are EXACT integer
@@ -491,15 +449,16 @@ def _sampled_kmeans_book(
     Empty clusters keep their previous centroid (mirrored by the
     oracle's LEFT JOIN + COALESCE per round).
     """
-    md5_bucket = (
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % IVF_SAMPLE_MOD
-    )
+    samp = e.filter(F.col("nrm") > 0)
+    if sample_mod is not None:
+        md5_bucket = (
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % sample_mod
+        )
+        samp = samp.filter(md5_bucket == 0)
     samp = (
-        e.filter(md5_bucket == 0)
-        .filter(F.col("nrm") > 0)
-        .select("vec_id", "v", "nrm")
-        .localCheckpoint(eager=False)  # Lloyd jobs re-read the tiny sample
+        samp.select("vec_id", "v", "nrm")
+        .localCheckpoint(eager=False)  # Lloyd jobs re-read the bounded set
     )
     book = {
         r["vec_id"]: list(r["v"]) for r in samp.orderBy("vec_id").limit(k).collect()
@@ -528,21 +487,32 @@ def _sampled_kmeans_book(
     return book
 
 
-def _ivf_kmeans_sampled_oracle() -> str:
-    """Generate the DuckDB mirror of the FULL sampled-training
-    pipeline: seed → {iters}× (assign sample, integer-quantized sums,
-    means, renorm) → assign corpus → probe → in-bucket top-k."""
+def _ivf_kmeans_mirror_oracle(
+    sample_mod: int | None = None,
+    nprobe: int = N_PROBE,
+    iters: int = IVF_SAMPLED_ITERS,
+) -> str:
+    """Generate the DuckDB mirror of the FULL quantized-training
+    pipeline: seed → iters× (assign train set, integer-quantized sums,
+    means, renorm) → assign corpus → probe → in-bucket top-k. The
+    train set is the md5 sample when sample_mod is given, else every
+    non-zero vector (mirrors _quantized_kmeans_book)."""
+    samp_pred = "nrm > 0"
+    if sample_mod is not None:
+        samp_pred = (
+            f"('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT"
+            f" % {sample_mod} = 0 AND nrm > 0"
+        )
     ctes = [
         _E_SQL,
         f"""samp AS (
         SELECT vec_id, v, nrm FROM e
-        WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT
-              % {IVF_SAMPLE_MOD} = 0 AND nrm > 0)""",
+        WHERE {samp_pred})""",
         f"""cent0 AS (
         SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
         FROM samp ORDER BY vec_id LIMIT {N_CENTROIDS})""",
     ]
-    for r in range(1, IVF_SAMPLED_ITERS + 1):
+    for r in range(1, iters + 1):
         prev = f"cent{r - 1}"
         ctes.append(f"""a{r} AS (
         SELECT s.vec_id, s.v, s.nrm, c.centroid_id
@@ -564,7 +534,7 @@ def _ivf_kmeans_sampled_oracle() -> str:
                sqrt(list_sum(list_transform(COALESCE(n.cv, p.cv),
                                             x -> x * x))) AS cn
         FROM {prev} p LEFT JOIN nc{r} n USING (centroid_id))""")
-    final = f"cent{IVF_SAMPLED_ITERS}"
+    final = f"cent{iters}"
     ctes.append(f"""assigned AS (
         SELECT e.vec_id, e.v, e.nrm, c.centroid_id
         FROM e CROSS JOIN {final} c
@@ -575,7 +545,7 @@ def _ivf_kmeans_sampled_oracle() -> str:
     ctes.append(f"""probe AS (
         SELECT c.centroid_id FROM {final} c CROSS JOIN q
         ORDER BY {_cos_pre('c.cv', 'c.cn', 'q.qv', 'q.qn')} DESC, c.centroid_id
-        LIMIT {IVF_SAMPLED_NPROBE})""")
+        LIMIT {nprobe})""")
     return "WITH " + ",\n    ".join(ctes) + f"""
     SELECT a.vec_id,
            ROUND({_cos_pre('a.v', 'a.nrm', 'q.qv', 'q.qn')}, 4) AS cosine
@@ -586,7 +556,68 @@ def _ivf_kmeans_sampled_oracle() -> str:
     """
 
 
-@register("sim_topk_ivf_kmeans_sampled", oracle=_ivf_kmeans_sampled_oracle())
+def _ivf_probe_topk(e: DataFrame, book: dict[int, list[float]], nprobe: int) -> DataFrame:
+    """Probe-and-rank against a DRIVER-SIDE codebook: probe selection
+    is driver arithmetic (k cosines against the 1×dim query), then ONE
+    narrow corpus scan (literal-codebook argmax + isin(probes) +
+    literal-query cosine) into TakeOrderedAndProject — ZERO exchanges;
+    at 100 TB with the corpus written partitioned by centroid_id the
+    isin becomes partition pruning at the scan
+    (sim_topk_ivf_partitioned executes that layout)."""
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
+    qv, qn = list(qrow["v"]), qrow["nrm"]
+    scored = []
+    for cid in sorted(book):
+        cv = book[cid]
+        cn = math.sqrt(_fold_dot(cv, cv))
+        scored.append((-(_fold_dot(cv, qv) / (cn * qn)), cid))
+    probes = [cid for _, cid in sorted(scored)[:nprobe]]
+    cos = F.expr(f"{_sql_fold_dot('v', qv)} / (nrm * {_sql_double(qn)})")
+    return (
+        _assign_book_lit(e, book)
+        .filter(F.col("centroid_id").isin(probes))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", dround("cosine", 4).alias("cosine"))
+    )
+
+
+@register("sim_topk_ivf_kmeans", oracle=_ivf_kmeans_mirror_oracle())
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a trained spherical k-means codebook: Lloyd
+    iterations on the full corpus (every non-zero vector) replace the
+    seed centroids, so buckets follow the data distribution — tighter
+    clusters mean the same nprobe=4/16 probes capture more true
+    neighbors than the untrained sim_topk_ivf.
+
+    FULL algorithm mirror (round 9 — this retired the last bracket
+    oracle in the registry): training uses the integer-quantized Lloyd
+    updates proven by the sampled sibling (FLOOR((x/nrm)*1e9) int64
+    sums → CAST(s AS DOUBLE)/n means — every step bit-identical in
+    both engines), so the DuckDB oracle re-runs seed → 3 Lloyd rounds
+    → assignment → probe → top-k verbatim and the ANN OUTPUT ITSELF
+    hash-matches. Recall vs brute force stays pytested
+    (IVF_KMEANS_RECALL_MIN). The previous spelling emitted the exact
+    top-k plus a recall-attestation boolean whose oracle column was a
+    literal TRUE; its bench cost was brute force + ANN. Now the op
+    computes (and certifies) the ANN result alone.
+
+    sim_topk_ivf_kmeans_sampled is the 100 TB production spelling
+    (training never scans the full corpus); this one is the
+    training-quality ceiling at the same probe budget."""
+    e = _prepped(spark, sf_dir)
+    book = _quantized_kmeans_book(e)
+    return _ivf_probe_topk(e, book, N_PROBE)
+
+
+@register(
+    "sim_topk_ivf_kmeans_sampled",
+    oracle=_ivf_kmeans_mirror_oracle(
+        sample_mod=IVF_SAMPLE_MOD, nprobe=IVF_SAMPLED_NPROBE
+    ),
+)
 def sim_topk_ivf_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over a SAMPLE-trained spherical k-means codebook —
     the production spelling of sim_topk_ivf_kmeans: Lloyd runs on a
@@ -598,39 +629,15 @@ def sim_topk_ivf_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@10 0.684 vs 0.686 for full-corpus training at nprobe=4)
     and ranks exact cosine inside them.
 
-    Unlike the full-corpus variant (recall-bracket oracle), this one
-    is a FULL algorithm mirror: integer-quantized Lloyd updates make
+    FULL algorithm mirror: integer-quantized Lloyd updates make
     training arithmetic engine-portable, so the DuckDB oracle re-runs
     seed → Lloyd rounds → assignment → probe → top-k verbatim and
-    the ANN output itself hash-matches.
-
-    Plan shape: codebook and query vector are driver-side (bounded:
-    k×dim and 1×dim), probe selection is driver arithmetic, so the
-    whole query is ONE narrow corpus scan (literal-codebook argmax +
-    isin(probes) + literal-query cosine) into TakeOrderedAndProject —
-    ZERO exchanges; at 100 TB with the corpus written partitioned by
-    centroid_id the isin becomes partition pruning at the scan.
+    the ANN output itself hash-matches. Plan shape: see
+    _ivf_probe_topk (one narrow corpus scan, zero exchanges).
     """
     e = _prepped(spark, sf_dir)
-    book = _sampled_kmeans_book(e)
-    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
-    qv, qn = list(qrow["v"]), qrow["nrm"]
-    scored = []
-    for cid in sorted(book):
-        cv = book[cid]
-        cn = math.sqrt(_fold_dot(cv, cv))
-        scored.append((-(_fold_dot(cv, qv) / (cn * qn)), cid))
-    probes = [cid for _, cid in sorted(scored)[:IVF_SAMPLED_NPROBE]]
-    cos = F.expr(f"{_sql_fold_dot('v', qv)} / (nrm * {_sql_double(qn)})")
-    return (
-        _assign_book_lit(e, book)
-        .filter(F.col("centroid_id").isin(probes))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", cos.alias("cosine"))
-        .orderBy(F.desc("cosine"), "vec_id")
-        .limit(TOP_K)
-        .select("vec_id", dround("cosine", 4).alias("cosine"))
-    )
+    book = _quantized_kmeans_book(e, sample_mod=IVF_SAMPLE_MOD)
+    return _ivf_probe_topk(e, book, IVF_SAMPLED_NPROBE)
 
 
 INT8_QMAX = 127  # symmetric signed-int8 quantization grid

@@ -73,17 +73,16 @@ def test_batch_topk_contains_single_query_topk(spark):
 
 
 def test_ivf_kmeans_recall_and_determinism(spark):
+    """The registered op IS the ANN neighbor list (round 9 — the
+    recall-bracket spelling is gone): recall vs brute force is pinned
+    here, exactness of the output is pinned by the full-mirror hash
+    oracle (training re-run verbatim in DuckDB)."""
     brute = {r["vec_id"] for r in similarity.sim_topk_bruteforce(spark, SMOKE_SF).collect()}
-    km = {r["vec_id"] for r in similarity.ivf_kmeans_topk_ann(spark, SMOKE_SF).collect()}
+    km = {r["vec_id"] for r in similarity.sim_topk_ivf_kmeans(spark, SMOKE_SF).collect()}
     recall = len(brute & km) / len(brute)
     assert recall >= similarity.IVF_KMEANS_RECALL_MIN, f"kmeans-ivf recall {recall}"
-    again = {r["vec_id"] for r in similarity.ivf_kmeans_topk_ann(spark, SMOKE_SF).collect()}
+    again = {r["vec_id"] for r in similarity.sim_topk_ivf_kmeans(spark, SMOKE_SF).collect()}
     assert km == again
-    # the registered (certified) spelling: exact top-k rows + in-band
-    # recall attestation, all TRUE on the fixture
-    cert = similarity.sim_topk_ivf_kmeans(spark, SMOKE_SF).collect()
-    assert {r["vec_id"] for r in cert} == brute
-    assert all(r["ann_recall_ok"] for r in cert)
 
 
 def test_kmeans_codebook_properties(spark):

@@ -67,9 +67,10 @@ def main() -> None:
             "(deterministic seed codebooks, md5-derived constants, fold-ordered\n"
             "float sums), `dedup_minhash_lsh` is checked against the exhaustive\n"
             "j≥0.5 pair set (banding recall measured 100% on the frozen\n"
-            "fixtures, pinned by pytest), and `sim_topk_ivf_kmeans` uses the\n"
-            "HLL bracket pattern (exact top-k + in-band ANN-recall≥0.5\n"
-            "attestation)."
+            "fixtures, pinned by pytest). Since round 9 the trained-IVF pair\n"
+            "(`sim_topk_ivf_kmeans`, `_sampled`) are BOTH full training mirrors\n"
+            "(integer-quantized Lloyd re-run verbatim in DuckDB) — no bracket\n"
+            "or constant oracle column remains anywhere in the registry."
         )
     else:
         oracle_note = (
