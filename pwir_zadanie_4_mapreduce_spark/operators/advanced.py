@@ -1657,19 +1657,26 @@ UDTF_TOPK = 3  # constant arg; analyze() derives tok_1..tok_k from it
 @register(
     "udtf_dynamic_topk_tokens",
     oracle=rf"""
-    WITH toks AS (
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+    toks AS (
       SELECT doc_id, tok,
              ROW_NUMBER() OVER (PARTITION BY doc_id
                                 ORDER BY length(tok) DESC, tok) AS rk
       FROM (SELECT doc_id,
                    unnest(list_filter(string_split_regex(text, '\s+'),
                                       x -> x <> '')) AS tok
-            FROM documents WHERE doc_id < 5))
-    SELECT doc_id,
-           MAX(CASE WHEN rk = 1 THEN tok END) AS tok_1,
-           MAX(CASE WHEN rk = 2 THEN tok END) AS tok_2,
-           MAX(CASE WHEN rk = 3 THEN tok END) AS tok_3
-    FROM toks GROUP BY doc_id ORDER BY doc_id
+            FROM d)),
+    -- LEFT JOIN from d: the UDTF yields one (all-NULL) row even for a
+    -- token-less doc, so the oracle must too (a bare GROUP BY over the
+    -- unnested tokens would silently drop such docs)
+    p AS (
+      SELECT doc_id,
+             MAX(CASE WHEN rk = 1 THEN tok END) AS tok_1,
+             MAX(CASE WHEN rk = 2 THEN tok END) AS tok_2,
+             MAX(CASE WHEN rk = 3 THEN tok END) AS tok_3
+      FROM toks GROUP BY doc_id)
+    SELECT d.doc_id, p.tok_1, p.tok_2, p.tok_3
+    FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id
     """,
 )
 def udtf_dynamic_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -238,8 +238,10 @@ def sim_topk_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     The write is the one-time index build (here per-run scratch, keyed
     by sf so concurrent sessions don't collide); the query side is the
     repeatable part a serving system runs per lookup."""
+    import atexit as _ax
     import hashlib as _hl
     import os as _os
+    import shutil as _sh
     import tempfile as _tf
 
     e = _prepped(spark, sf_dir)
@@ -251,6 +253,9 @@ def sim_topk_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark_graft_ivf_index",
         f"{_hl.sha256(sf_dir.encode()).hexdigest()[:12]}_{_os.getpid()}",
     )
+    # scratch, not an artifact: reap at interpreter exit so repeated
+    # test/bench processes don't accumulate copies under /tmp
+    _ax.register(_sh.rmtree, path, ignore_errors=True)
     (
         _assign_book_lit(e, book)
         .select("vec_id", "v", "nrm", "centroid_id")

@@ -515,6 +515,23 @@ def run_liststate_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_dir_path(sf_dir: str, n_batches: int = 2) -> str:
+    """The scratch directory _events_stream_split materializes into —
+    the ONE place the (fixture, n_batches, pid) naming scheme lives;
+    consumers that need the raw slice files (initial-state bootstrap,
+    restart phases) call this instead of re-deriving the tag."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha256(
+        f"{table_path(sf_dir, 'events')}:{n_batches}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"pwir_events_split_{tag}_{os.getpid()}"
+    )
+
+
 def _events_stream_split(spark: SparkSession, sf_dir: str, n_batches: int = 2) -> DataFrame:
     """readStream over the events fixture split into n ts-ordered
     parquet files, consumed one file per trigger — a DETERMINISTIC
@@ -524,14 +541,11 @@ def _events_stream_split(spark: SparkSession, sf_dir: str, n_batches: int = 2) -
     named in ts order and given strictly increasing mtimes so the
     file source's (mtime, path) ordering replays them oldest-first.
     """
-    import hashlib
     import os
-    import tempfile
 
     from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 
-    tag = hashlib.sha256(f"{table_path(sf_dir, 'events')}:{n_batches}".encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"pwir_events_split_{tag}_{os.getpid()}")
+    d = _split_dir_path(sf_dir, n_batches)
     marker = os.path.join(d, "_SPLIT_DONE")
     if not os.path.exists(marker):
         ev = load_table(spark, sf_dir, "events").select(
@@ -752,18 +766,8 @@ def run_initialstate_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the snapshot, slice 2 is the live stream
     import os
 
-    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
-
-    stream_all = _events_stream_split(spark, sf_dir)  # ensures the split exists
-    split_dir = None
-    # the split helper derives its dir deterministically; recover it
-    import hashlib
-    import tempfile
-
-    tag = hashlib.sha256(f"{table_path(sf_dir, 'events')}:2".encode()).hexdigest()[:12]
-    split_dir = os.path.join(
-        tempfile.gettempdir(), f"pwir_events_split_{tag}_{os.getpid()}"
-    )
+    _events_stream_split(spark, sf_dir)  # ensures the split exists
+    split_dir = _split_dir_path(sf_dir)
     snapshot = spark.read.parquet(os.path.join(split_dir, "01.parquet"))
     if dict(snapshot.dtypes).get("ts") == "bigint":
         snapshot = snapshot.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -819,13 +823,7 @@ def run_restartable_user_totals(spark: SparkSession, sf_dir: str, out_dir: str) 
     # materialize the deterministic two-slice split, then expose the
     # slices one phase at a time through a fresh source dir
     _events_stream_split(spark, sf_dir)  # ensures split files exist
-    import hashlib
-    import tempfile
-
-    tag = hashlib.sha256(f"{table_path(sf_dir, 'events')}:2".encode()).hexdigest()[:12]
-    split_dir = os.path.join(
-        tempfile.gettempdir(), f"pwir_events_split_{tag}_{os.getpid()}"
-    )
+    split_dir = _split_dir_path(sf_dir)
     src_dir = os.path.join(out_dir, "src")
     totals_dir = os.path.join(out_dir, "totals")
     ckpt_dir = os.path.join(out_dir, "ckpt")

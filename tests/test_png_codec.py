@@ -51,7 +51,9 @@ def test_crc_corruption_detected(codec):
     encode_png, decode_png = codec
     data = bytearray(encode_png(4, 4, bytes(range(16))))
     data[40] ^= 0xFF  # somewhere inside IDAT
-    with pytest.raises(ValueError, match="CRC|size|truncated|Error -3"):
+    # the per-chunk CRC check must fire BEFORE inflate ever sees the
+    # corrupt bytes — no zlib.error alternative here on purpose
+    with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(data))
 
 
