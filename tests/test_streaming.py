@@ -19,6 +19,18 @@ def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def _assert_multibatch():
+    """The stateful family reads the fixture as STATEFUL_N_BATCHES
+    ts-ordered files (one per trigger): the just-finished query must
+    have crossed at least that many micro-batches (batch_id is
+    0-indexed; event-time jobs may add a trailing no-data batch)."""
+    from pwir_zadanie_4_mapreduce_spark.streaming import jobs
+
+    assert (
+        jobs.LAST_PROGRESS.get("batch_id", -1) >= jobs.STATEFUL_N_BATCHES - 1
+    ), jobs.LAST_PROGRESS
+
+
 def test_tumbling_stream_equals_batch(spark):
     batch = events_tumbling_hourly(spark, SMOKE_SF)
     stream = run_tumbling_stream(spark, SMOKE_SF)
@@ -41,6 +53,7 @@ def test_stateful_user_totals_equals_batch(spark):
     from pyspark.sql import functions as F2
 
     stream = run_stateful_user_totals(spark, SMOKE_SF)
+    _assert_multibatch()
     batch = (
         load_table(spark, SMOKE_SF, "events")
         .groupBy("user_id")
@@ -80,13 +93,16 @@ def test_stream_static_join_equals_batch(spark):
 
 def test_stream_stream_join_equals_batch(spark):
     """Stream-stream interval join must match the equivalent batch
-    join (the fixture fits one micro-batch, so no pairs are lost to
-    watermark eviction)."""
+    join: the 3 slices are ts-contiguous and the 1 h watermark delay
+    exceeds the 30 min join window, so a click near a slice boundary
+    still meets its purchase from the next micro-batch before state
+    eviction — no pairs are lost to batching."""
     from pwir_zadanie_4_mapreduce_spark.catalog import load_table
     from pwir_zadanie_4_mapreduce_spark.streaming import run_stream_stream_join
     from pyspark.sql import functions as F2
 
     stream = run_stream_stream_join(spark, SMOKE_SF)
+    _assert_multibatch()
     ev = load_table(spark, SMOKE_SF, "events")
     clicks = ev.filter(F2.col("event_type") == "click").select(
         "user_id", F2.col("ts").alias("click_ts")
@@ -171,6 +187,7 @@ def test_stream_dedup_equals_batch_distinct(spark):
     from pwir_zadanie_4_mapreduce_spark.streaming.jobs import run_stream_dedup
 
     out = run_stream_dedup(spark, SMOKE_SF)
+    _assert_multibatch()
     got = sorted((r["user_id"], r["event_type"]) for r in out.collect())
     batch = (
         load_table(spark, SMOKE_SF, "events")
@@ -197,6 +214,7 @@ def test_transform_with_state_equals_batch(spark):
         r["user_id"]: (r["n_events"], r["min_value"], r["max_value"], r["sum_value"])
         for r in run_transform_with_state(spark, SMOKE_SF).collect()
     }
+    _assert_multibatch()
     batch = (
         load_table(spark, SMOKE_SF, "events")
         .groupBy("user_id")
@@ -233,6 +251,7 @@ def test_liststate_recent_events_equals_batch(spark):
         r["user_id"]: (r["n_recent"], r["latest_event_id"], r["recent_sum"])
         for r in run_liststate_recent_events(spark, SMOKE_SF).collect()
     }
+    _assert_multibatch()
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     batch = (
         load_table(spark, SMOKE_SF, "events")
@@ -267,6 +286,7 @@ def test_mapstate_type_breakdown_equals_batch(spark):
         (r["user_id"], r["event_type"]): (r["n_events"], r["sum_value"])
         for r in run_mapstate_type_breakdown(spark, SMOKE_SF).collect()
     }
+    _assert_multibatch()
     batch = (
         load_table(spark, SMOKE_SF, "events")
         .groupBy("user_id", "event_type")
@@ -279,43 +299,239 @@ def test_mapstate_type_breakdown_equals_batch(spark):
         assert abs(got[k][1] - want[k][1]) < 1e-6, (k, got[k], want[k])
 
 
+def _replay_inactivity_timers(slices, input_first=True):
+    """Driver-side replay of the inactivity-timeout micro-batch
+    semantics over pre-sliced (user, ts_us) batches: per batch, the
+    watermark is max event time through the PREVIOUS batch minus the
+    delay; input rows accumulate state and re-arm (one timer per key at
+    last_ts + GAP); armed timers with expiry <= the batch watermark
+    fire; a trailing no-data batch fires the rest. input_first selects
+    whether input processing precedes timer expiry within a batch
+    (Spark's actual order — validated by the test's discrimination
+    assert)."""
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (
+        TIMEOUT_GAP_MIN,
+        TIMEOUT_WM_DELAY_MIN,
+    )
+
+    gap_ms = TIMEOUT_GAP_MIN * 60 * 1000
+    delay_ms = TIMEOUT_WM_DELAY_MIN * 60 * 1000
+    state, timers, emitted = {}, {}, []
+    wm_ms, max_us = 0, 0
+
+    def fire():
+        for u in sorted(list(timers)):
+            if timers[u] <= wm_ms:
+                exp = timers.pop(u)
+                last, cnt = state[u]
+                if exp == last // 1000 + gap_ms:  # mirrors the stale check
+                    emitted.append((u, last, cnt))
+
+    for k in range(len(slices) + 1):  # + the trailing no-data batch
+        batch = slices[k] if k < len(slices) else []
+        if not input_first:
+            fire()
+        by_user = {}
+        for u, ts in batch:
+            by_user.setdefault(u, []).append(ts)
+        for u, tss in by_user.items():
+            last, cnt = state.get(u, (0, 0))
+            state[u] = (max([last] + tss), cnt + len(tss))
+            timers[u] = state[u][0] // 1000 + gap_ms
+        if input_first:
+            fire()
+        for _, ts in batch:
+            max_us = max(max_us, ts)
+        if batch:
+            wm_ms = max(wm_ms, max_us // 1000 - delay_ms)
+    return emitted
+
+
+def _write_batch_files(spark, tmp_path, batches, schema_cols):
+    """Materialize hand-crafted micro-batches as mtime-ordered parquet
+    files in a fresh source dir (the deterministic replay device)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    for i, rows in enumerate(batches, 1):
+        df = (
+            spark.createDataFrame(rows, schema_cols)
+            .select("*", F.timestamp_seconds("ts_s").alias("ts"))
+            .drop("ts_s")
+            .coalesce(1)
+        )
+        pdir = str(tmp_path / f"b{i}")
+        df.write.mode("overwrite").parquet(pdir)
+        src = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(pdir, src), os.path.join(d, f"{i:02d}.parquet"))
+        os.utime(os.path.join(d, f"{i:02d}.parquet"), (1000000 + i, 1000000 + i))
+    schema = spark.read.parquet(os.path.join(d, "01.parquet")).schema
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+
+
+def test_timer_midstream_close_and_rearm(spark, tmp_path):
+    """A crafted source where user 1 goes quiet mid-stream and RETURNS:
+    their session must close TWICE — once mid-stream (batch 2's
+    watermark passes their batch-1 timer while they are absent, n=1)
+    and once at the final no-data batch after re-arming (n=2) — the
+    multi-close semantics the dense fixture never produces (every user
+    is active in every slice). User 2 only advances the watermark and
+    never goes inactive long enough before the final watermark."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (
+        _inactivity_timeout_topology,
+        _run_to_memory,
+        _use_rocksdb,
+    )
+
+    h = 3600
+    base = 1_700_000_000
+    batches = [
+        [(1, base), (2, base + 2 * h)],  # X@00:00 (timer 00:30), Y@02:00
+        [(2, base + 3 * h)],  # wm=01:00 >= 00:30: X closes (n=1)
+        [(1, base + 4 * h), (2, base + 6 * h)],  # X re-arms (04:30)
+        # final no-data batch: wm=05:00 >= 04:30: X closes again (n=2);
+        # Y's timer (06:30) stays beyond the final watermark
+    ]
+    stream = _write_batch_files(
+        spark, tmp_path, batches, "user_id long, ts_s long"
+    )
+    _use_rocksdb(spark)
+    out = _run_to_memory(_inactivity_timeout_topology(stream), "append")
+    got = sorted(
+        (r["user_id"], r["last_seen_us"], r["n_events"]) for r in out.collect()
+    )
+    want = sorted(
+        [(1, base * 1_000_000, 1), (1, (base + 4 * h) * 1_000_000, 2)]
+    )
+    assert got == want, (got, want)
+
+
 def test_timer_inactivity_timeout_equals_batch(spark):
-    """Event-time timers: a user's timeout row fires iff their armed
-    expiry (max_ts + GAP) is <= the final watermark (global max ts −
-    delay), with their full event count — the batch mirror of the
-    inactivity-timeout semantics."""
+    """Event-time timers across the 3-slice source: the emitted
+    MULTISET must equal a driver-side replay of the micro-batch
+    semantics — per batch, input rows are processed first (each active
+    user re-arms their timer at last_ts + GAP), THEN armed timers
+    whose expiry <= that batch's watermark (derived from data through
+    the PREVIOUS batch) fire; the trailing no-data micro-batch
+    advances the watermark to max(ts) - delay and fires the remaining
+    eligible timers. A user who goes quiet mid-stream and returns
+    later therefore emits one close per inactivity epoch — real
+    session-close semantics exercised across batches, not just a
+    final flush (the r8 two-slice run could only ever fire at the
+    end). The input-first-then-timers order was validated empirically:
+    the alternative (timers before input) predicts 39 emissions at
+    sf0.001 vs the 13 Spark actually produces."""
     import pytest
 
     pytest.importorskip("google.protobuf")
     from pwir_zadanie_4_mapreduce_spark.catalog import load_table
     from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (
+        STATEFUL_N_BATCHES,
         TIMEOUT_GAP_MIN,
         TIMEOUT_WM_DELAY_MIN,
         run_timer_inactivity_timeout,
     )
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    got = {
-        r["user_id"]: (r["last_seen_us"], r["n_events"])
+    got = sorted(
+        (r["user_id"], r["last_seen_us"], r["n_events"])
         for r in run_timer_inactivity_timeout(spark, SMOKE_SF).collect()
-    }
-    ev = load_table(spark, SMOKE_SF, "events").select(
-        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
     )
-    max_all = ev.agg(F.max("ts_us")).first()[0]
-    final_wm_ms = max_all // 1000 - TIMEOUT_WM_DELAY_MIN * 60 * 1000
-    per_user = ev.groupBy("user_id").agg(
-        F.max("ts_us").alias("last_us"), F.count("*").alias("n")
+    _assert_multibatch()
+
+    # deterministic replay over the same ntile ts slices the split
+    # source materializes
+    n = STATEFUL_N_BATCHES
+    rows = (
+        load_table(spark, SMOKE_SF, "events")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
+        .withColumn("slice", F.ntile(n).over(Window.orderBy("ts_us", "event_id")))
+        .collect()
     )
-    want = {
-        r["user_id"]: (r["last_us"], r["n"])
-        for r in per_user.collect()
-        if r["last_us"] // 1000 + TIMEOUT_GAP_MIN * 60 * 1000 <= final_wm_ms
-    }
-    assert got == want, (
-        sorted(set(want) - set(got)),
-        sorted(set(got) - set(want)),
+    slices = [[] for _ in range(n)]
+    for r in rows:
+        slices[r["slice"] - 1].append((r["user_id"], r["ts_us"]))
+    want = _replay_inactivity_timers(slices, input_first=True)
+    assert got == sorted(want), (got, sorted(want))
+    # order discrimination: the replay is only evidence if the batching
+    # structure matters — under the WRONG processing order (timers
+    # before input, so an active user's stale timer fires mid-stream
+    # with a partial count) the prediction must diverge (measured: 39
+    # emissions vs the 13 Spark produces at sf0.001)
+    wrong = _replay_inactivity_timers(slices, input_first=False)
+    assert sorted(wrong) != sorted(want)
+
+
+def test_stream_dedup_eviction_readmits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark EVICTION pinned deterministically:
+    a hand-built source where each key appears at most once per batch,
+    so the stored first-arrival ts is never racy (over the fixture it
+    is — see STREAM_DEDUP_WM). Batch 2 repeats A within the delay:
+    suppressed by CROSS-BATCH state. A then SKIPS batch 3 — state
+    eviction happens at batch end, so the key must be absent from the
+    batch whose watermark passes its expiry — and returns hours later
+    in batch 4: RE-ADMITTED (emitted a second time). W1..W4 are
+    distinct watermark-driver keys, each emitted once."""
+    import os
+
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (
+        _run_to_memory,
+        _use_rocksdb,
     )
+    from pyspark.sql import functions as F
+
+    h = 3600
+    base = 1_700_000_000
+    batches = [
+        [("A", base), ("W1", base + 60)],
+        [("A", base + 30 * 60), ("W2", base + 4 * h)],  # A dup: dropped
+        [("W3", base + 8 * h)],  # wm=3h past A's expiry (~1.5h): A evicted
+        [("A", base + 10 * h), ("W4", base + 11 * h)],  # A re-admitted
+    ]
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    for i, rows in enumerate(batches, 1):
+        df = (
+            spark.createDataFrame(rows, "k string, ts_s long")
+            .select("k", F.timestamp_seconds("ts_s").alias("ts"))
+            .coalesce(1)
+        )
+        pdir = str(tmp_path / f"b{i}")
+        df.write.mode("overwrite").parquet(pdir)
+        src = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(pdir, src), os.path.join(d, f"{i:02d}.parquet"))
+        os.utime(os.path.join(d, f"{i:02d}.parquet"), (1000000 + i, 1000000 + i))
+    schema = spark.read.parquet(os.path.join(d, "01.parquet")).schema
+    _use_rocksdb(spark)
+    deduped = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k", F.unix_seconds("ts").alias("ts_s"))
+    )
+    got = sorted((r["k"], r["ts_s"]) for r in _run_to_memory(deduped, "append").collect())
+    want = sorted(
+        [
+            ("A", base),
+            ("W1", base + 60),
+            ("W2", base + 4 * h),
+            ("W3", base + 8 * h),
+            ("A", base + 10 * h),
+            ("W4", base + 11 * h),
+        ]
+    )
+    assert got == want, (got, want)
 
 
 def test_initialstate_totals_equal_full_batch(spark):
@@ -362,6 +578,56 @@ def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
             spark, SMOKE_SF, str(tmp_path / "restart")
         ).collect()
     }
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load_table(spark, SMOKE_SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert abs(got[k][1] - want[k][1]) < 1e-6, (k, got[k], want[k])
+
+
+def test_tws_restart_from_checkpoint(spark, tmp_path):
+    """transformWithState stop + restart: typed ValueState must be
+    restored from the RocksDB checkpoint by a brand-new query object
+    (final totals equal the full batch aggregate), and committed
+    offsets must be honored — phase 2 reads ONLY the third slice
+    (pinned against the actual slice-3 row count; a from-scratch
+    replay would read all three files)."""
+    import os
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.streaming import jobs
+    from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (
+        STATEFUL_N_BATCHES,
+        _split_dir_path,
+        run_restartable_tws_totals,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in run_restartable_tws_totals(
+            spark, SMOKE_SF, str(tmp_path / "tws_restart")
+        ).collect()
+    }
+    slice3 = spark.read.parquet(
+        os.path.join(
+            _split_dir_path(SMOKE_SF, STATEFUL_N_BATCHES),
+            f"{STATEFUL_N_BATCHES:02d}.parquet",
+        )
+    ).count()
+    assert jobs.LAST_PROGRESS["phase2_rows"] == slice3, (
+        jobs.LAST_PROGRESS,
+        slice3,
+    )
     want = {
         r["user_id"]: (r["n"], r["s"])
         for r in load_table(spark, SMOKE_SF, "events")
