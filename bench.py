@@ -287,6 +287,18 @@ def main() -> None:
     # a warm min-of-2 q1 — plus the fast-window reference, making
     # cross-window totals machine-normalizable instead of a prose
     # caveat. q1 ≈ 0.53 s in a fast window at sf0.1/multifile-32.
+    # The fast/slow/drifted verdict is calibrated for THAT config only:
+    # a non-canonical sf or a non-default master still records the raw
+    # canary numbers, but the verdict is "n/a" (round-8 ADVICE — the
+    # local-cluster record spuriously read "slow").
+    sf = os.path.basename(sf_dir.rstrip("/")).rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    canonical_sf = float(os.environ.get("SPARK_GRAFT_CANONICAL_SF", "0.1"))
+    alt_master = os.environ.get("SPARK_GRAFT_MASTER")
+    canonical_config = sf_val == canonical_sf and not alt_master and layout == "multifile-32"
     canary_ref = float(os.environ.get("SPARK_GRAFT_CANARY_REF", "0.53"))
     canary_best = float("inf")
     for _ in range(2):
@@ -296,7 +308,10 @@ def main() -> None:
     canary_q1_s = round(canary_best, 3)
     # "fast" within 1.4× of the reference; beyond that the window is
     # degraded and totals should be read against canary_q1_s/ref.
-    canary_verdict = "fast" if canary_q1_s <= 1.4 * canary_ref else "slow"
+    if canonical_config:
+        canary_verdict = "fast" if canary_q1_s <= 1.4 * canary_ref else "slow"
+    else:
+        canary_verdict = "n/a"
 
     # Per-query min-of-2 (round-4 verdict #3): first-touch effects —
     # codegen compilation, parquet footer/OS page-cache misses, JIT —
@@ -339,19 +354,28 @@ def main() -> None:
         materialize(queries["q1_pricing_summary"](spark, sf_dir))
         canary_end_best = min(canary_end_best, time.monotonic() - t0)
     canary_end_q1_s = round(canary_end_best, 3)
-    if canary_end_q1_s > 1.4 * canary_ref:
+    if canonical_config and canary_end_q1_s > 1.4 * canary_ref:
         canary_verdict = "drifted"
 
-    sf = os.path.basename(sf_dir.rstrip("/")).rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
     total = round(sum(timings.values()), 3)
+    # Canary-normalized total (round-8 verdict #5): scale the total to
+    # what it would read in a window where q1 costs exactly the
+    # fast-window reference, so cross-window records compare
+    # mechanically (the r8 driver-vs-builder 108.4 vs 90.05 s gap was
+    # explained by the canaries but required a human to do the
+    # division). Uses the start/end canary mean — the band is
+    # time-varying across the ~90 s run. Only computed for the
+    # canonical config the reference is calibrated against.
+    normalized_total = None
+    if canonical_config:
+        canary_avg = (canary_q1_s + canary_end_q1_s) / 2
+        if canary_avg > 0:
+            normalized_total = round(total * canary_ref / canary_avg, 3)
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": total,
+            "normalized_total": normalized_total,
             "unit": "sec",
             "queries": timings,
             "sf": sf_val,
@@ -374,10 +398,8 @@ def main() -> None:
     # smaller sf must not overwrite it and corrupt the round-over-round
     # history (r6's record briefly read 43% faster because it was an
     # sf0.01 run). Non-canonical runs get a suffixed file instead.
-    canonical_sf = float(os.environ.get("SPARK_GRAFT_CANONICAL_SF", "0.1"))
     # A non-default master (e.g. local-cluster multi-process evidence
     # runs) is a different machine shape — never the canonical record.
-    alt_master = os.environ.get("SPARK_GRAFT_MASTER")
     if alt_master:
         tag = "".join(c if c.isalnum() else "-" for c in alt_master).strip("-")
         out_name = f"bench_out.{tag}.json"
