@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import glob
 import json
+import re
 import os
 from collections.abc import Callable
 
@@ -33,17 +34,24 @@ from pwir_zadanie_4_mapreduce_spark.session import get_or_tune
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def _previously_driver_checked() -> set[str]:
-    """Names already sampled in any past CORRECTNESS_r*.json artifact.
+def _last_driver_checked_round() -> dict[str, int]:
+    """Round in which each name was LAST sampled in a
+    CORRECTNESS_r*.json artifact (absent = never sampled).
 
     The driver's per-round correctness sample is the HEAD of the
-    ``queries()`` mapping, so ordering never-sampled names first
-    rotates each round's sample onto fresh ground — every query is
-    still present and every query still runs the identical parity
-    check in tests/test_oracle_parity.py; this only widens which ones
-    the per-round artifact documents."""
-    seen: set[str] = set()
+    ``queries()`` mapping. Through round 8 the ordering was
+    never-sampled-first, which completed the eight-round sweep (every
+    registered query sampled at least once); with the sweep done that
+    ordering degenerates (nothing is "never sampled"), so round 9
+    switched to least-recently-sampled-first — the r1–r3-era samples,
+    taken on since-rewritten plans, refresh before twice-sampled r8
+    names. Every query is still present and every query still runs the
+    identical parity check in tests/test_oracle_parity.py; this only
+    rotates which ones the per-round artifact documents."""
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 records = json.load(fh)
@@ -55,8 +63,8 @@ def _previously_driver_checked() -> set[str]:
             # keep such names at the front so the driver re-samples
             # them now that they can produce a real pass
             if not isinstance(rec, dict) or rec.get("err") is None:
-                seen.add(name)
-    return seen
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -156,10 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["laplace_sor_n4"] = _laplace_query_n4
     out["laplace_blocked_sor_n8"] = _laplace_blocked_query_n8
     out["laplace_blocked_sor_n4"] = _laplace_blocked_query_n4
-    seen = _previously_driver_checked()
-    fresh = {k: v for k, v in out.items() if k not in seen}
-    rest = {k: v for k, v in out.items() if k in seen}
-    return {**fresh, **rest}
+    last = _last_driver_checked_round()
+    order = sorted(out, key=lambda k: (last.get(k, 0), k))
+    return {k: out[k] for k in order}
 
 
 def oracle_sql() -> dict[str, str]:
