@@ -420,7 +420,9 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(quantile_cont(o_totalprice, 0.45), 4) AS p45_exact,
            ROUND(quantile_cont(o_totalprice, 0.55), 4) AS p55_exact,
-           TRUE AS approx_in_bracket
+           approx_quantile(o_totalprice, 0.5)
+             BETWEEN quantile_cont(o_totalprice, 0.45)
+                 AND quantile_cont(o_totalprice, 0.55) AS approx_in_bracket
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )

@@ -506,7 +506,8 @@ def join_interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS est_in_band
+           ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+             <= COUNT(DISTINCT user_id) * 0.05 AS est_in_band
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -516,12 +517,15 @@ def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     per type with hll_union_agg, estimated once. Re-aggregating
     pre-computed daily sketches replaces a full re-scan.
 
-    Bracket oracle (the agg_approx_distinct_users technique): the
-    Datasketches estimate has no DuckDB twin, so the query emits the
-    EXACT distinct (hash-compared cross-engine) plus a boolean
-    asserting the merged-sketch estimate lands within 5 % (lgK=12 ≈
-    1.6 % RSE, so >3σ; measured ≤1.5 % at sf0.001–sf1 — deterministic
-    for fixed data)."""
+    Bracket oracle: the Datasketches estimate has no DuckDB twin, so
+    the query emits the EXACT distinct (hash-compared cross-engine)
+    plus a boolean asserting the merged-sketch estimate lands within
+    5 % (lgK=12 ≈ 1.6 % RSE, so >3σ; measured ≤1.5 % at sf0.001–sf1 —
+    deterministic for fixed data). The oracle's boolean is DuckDB's
+    OWN HLL (approx_count_distinct) run through the identical band
+    check — both engines attest their sketch is in band, and neither
+    column is a literal (round-9: the registry-wide no-constant-oracle
+    rule)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("d"), "user_id"
     )
@@ -1030,13 +1034,23 @@ def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "agg_hll_intersection",
     oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection,
-           TRUE AS est_in_band
-    FROM (
-        SELECT user_id FROM events
-        WHERE event_type IN ('click', 'purchase')
-        GROUP BY user_id
-        HAVING COUNT(DISTINCT event_type) = 2)
+    WITH ab AS (SELECT event_type, user_id FROM events
+                WHERE event_type IN ('click', 'purchase')),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+           FROM (SELECT user_id FROM ab GROUP BY user_id
+                 HAVING COUNT(DISTINCT event_type) = 2)),
+    -- DuckDB's own HLL through the same inclusion-exclusion estimate:
+    -- |A∩B| ~ |A| + |B| - |A∪B|, every term approx_count_distinct —
+    -- the identical 10% band check, computed, not a literal
+    est AS (SELECT (SELECT approx_count_distinct(user_id) FROM ab
+                    WHERE event_type = 'click')
+                 + (SELECT approx_count_distinct(user_id) FROM ab
+                    WHERE event_type = 'purchase')
+                 - approx_count_distinct(user_id) AS est_inter FROM ab)
+    SELECT exact_intersection,
+           ABS(est_inter - exact_intersection)
+             <= exact_intersection * 0.10 AS est_in_band
+    FROM ex CROSS JOIN est
     """,
 )
 def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,7 +1064,9 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits the EXACT intersection plus a boolean asserting the
     inclusion-exclusion estimate lands within 10 % (compounds the
     ~1.6 % RSE of three estimates; measured ≤1.5 % at sf0.001–sf1 —
-    deterministic for fixed data).
+    deterministic for fixed data). The oracle runs DuckDB's own HLL
+    through the same inclusion-exclusion + band check, so neither
+    engine's column is a literal.
 
     100 TB note: this is why sketch stores exist — any pairwise
     overlap across pre-computed per-segment sketches is answerable in

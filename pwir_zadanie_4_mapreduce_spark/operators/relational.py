@@ -440,7 +440,8 @@ def agg_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS approx_in_band
+           ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+             <= COUNT(DISTINCT user_id) * 0.05 AS approx_in_band
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )

@@ -1783,14 +1783,27 @@ def quality_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              quantile_cont(l_extendedprice, 0.20) AS p20,
              quantile_cont(l_extendedprice, 0.30) AS p30,
              quantile_cont(l_extendedprice, 0.70) AS p70,
-             quantile_cont(l_extendedprice, 0.80) AS p80
+             quantile_cont(l_extendedprice, 0.80) AS p80,
+             -- DuckDB's own approximate quantiles (t-digest) run
+             -- through the identical bracket checks: computed
+             -- booleans, not literals
+             approx_quantile(l_extendedprice, 0.25) AS aq1,
+             approx_quantile(l_extendedprice, 0.75) AS aq3
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           TRUE AS q1_in_bracket,
-           TRUE AS q3_in_bracket,
-           TRUE AS n_outliers_in_bracket
+           BOOL_AND(aq1 BETWEEN p20 AND p30) AS q1_in_bracket,
+           BOOL_AND(aq3 BETWEEN p70 AND p80) AS q3_in_bracket,
+           COUNT(*) FILTER (WHERE l_extendedprice < aq1 - 1.5 * (aq3 - aq1)
+                               OR l_extendedprice > aq3 + 1.5 * (aq3 - aq1))
+             BETWEEN
+           COUNT(*) FILTER (WHERE l_extendedprice < p20 - 1.5 * (p80 - p20)
+                               OR l_extendedprice > p80 + 1.5 * (p80 - p20))
+             AND
+           COUNT(*) FILTER (WHERE l_extendedprice < p30 - 1.5 * (p70 - p30)
+                               OR l_extendedprice > p70 + 1.5 * (p70 - p30))
+             AS n_outliers_in_bracket
     FROM lineitem l JOIN fences f USING (l_returnflag)
     GROUP BY l.l_returnflag ORDER BY l.l_returnflag
     """,
