@@ -1724,6 +1724,90 @@ def udtf_dynamic_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_api_parameterized_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_api_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (Spark 4 named-parameter binding): the query
+    text carries :min_price / :since placeholders and the values
+    arrive via spark.sql(..., args=...) — typed literal binding at the
+    analyzer, NOT string interpolation, so a user-supplied value can
+    never change the query's structure (the injection-safe surface any
+    SQL entry point exposed to applications needs). Catalyst constant-
+    folds the bound literals exactly like inline ones — same pushdown,
+    same plan; the oracle is the same text with the literals inlined.
+    """
+    from pwir_zadanie_4_mapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    raw = spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(o_totalprice) AS raw_revenue
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderdate >= :since
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "since": "1995-01-01"},
+    )
+    return raw.select(
+        "o_orderpriority", "n_orders", dround(F.col("raw_revenue"), 4).alias("revenue")
+    )
+
+
+@register(
+    "scalar_collated_grouping",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_brand)
+                    ELSE p_brand END AS b,
+               p_retailprice
+        FROM part)
+    SELECT lower(b) AS brand_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(p_retailprice), 4) AS total_price
+    FROM mixed GROUP BY lower(b) ORDER BY brand_ci
+    """,
+)
+def scalar_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATED strings (Spark 4): grouping under UTF8_LCASE merges
+    case variants of a key AT THE TYPE LEVEL — comparison, grouping,
+    and join semantics follow the collation with no expression rewrite
+    at the call sites, which is the production spelling when an entire
+    column is case-insensitive by contract (emails, tags, locales).
+    The fixture brands are single-case, so half the rows are lowered
+    first (deterministically, by p_partkey parity) to create real case
+    variants; the emitted key is lower()ed because the group's surfaced
+    representative under a collation is whichever variant the engine
+    picked. The oracle is the classical lower()-grouping rewrite — the
+    two spellings must agree exactly.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        F.when(F.col("p_partkey") % 2 == 0, F.lower("p_brand"))
+        .otherwise(F.col("p_brand"))
+        .alias("b"),
+        "p_retailprice",
+    )
+    return (
+        part.groupBy(F.collate(F.col("b"), "UTF8_LCASE").alias("bc"))
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.sum("p_retailprice"), 4).alias("total_price"),
+        )
+        .select(F.lower(F.col("bc")).alias("brand_ci"), "n", "total_price")
+        .orderBy("brand_ci")
+    )
+
+
+@register(
     "scalar_try_arithmetic",
     oracle="""
     SELECT event_type,

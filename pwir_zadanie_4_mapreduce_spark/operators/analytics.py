@@ -624,6 +624,53 @@ EXPECTATION_RULES = [
 
 
 @register(
+    "quality_observe_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice > 300000.0)
+                    AS BIGINT) AS n_big,
+               ROUND(SUM(o_totalprice), 4) AS sum_price
+        FROM orders),
+    g AS (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+                 AS n_status_groups FROM orders)
+    SELECT n_rows, n_big, sum_price, n_status_groups FROM m CROSS JOIN g
+    """,
+)
+def quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.observe() — metrics that PIGGYBACK on a job instead of
+    costing a pass: an Observation attaches named aggregate
+    expressions to the scan (a CollectMetrics node), the real query (a
+    per-status rollup here) runs as usual, and the metrics are
+    harvested from the SAME execution. At 100 TB this is how
+    row-count/null-rate/freshness audits ship with every production
+    job for free — quality_expectations is the standalone one-pass
+    audit; this is the zero-pass one. The observed values are exact
+    (full-data aggregates, not samples), so the oracle recomputes them
+    relationally; the driving job's group count rides along to prove a
+    real query executed. The action is collected in-op (bounded: one
+    row per order status) because observation results only exist after
+    an action — the returned frame is the bounded metrics row, the
+    laplace-style driver-side assembly contract."""
+    from pyspark.sql import Observation
+
+    obs = Observation("audit")
+    orders = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice") > 300000.0).alias("n_big"),
+        dround(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+    rollup = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    n_groups = len(rollup.collect())  # the action that populates obs
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_big"], m["sum_price"], n_groups)],
+        "n_rows bigint, n_big bigint, sum_price double, n_status_groups bigint",
+    )
+
+
+@register(
     "quality_expectations",
     oracle=f"""
     WITH agg AS (
