@@ -185,6 +185,11 @@ HEADLINE = [
     "pipeline_temperature_mix",
     "text_feature_hashing",
     "timeseries_cusum_changepoint",
+    # round-9 additions: observe() piggyback audit, collated grouping,
+    # parameterized SQL (all single-scan group-bounded plans)
+    "quality_observe_metrics",
+    "scalar_collated_grouping",
+    "sql_api_parameterized_revenue",
 ]
 
 
