@@ -509,3 +509,50 @@ def test_ivf_partitioned_scan_prunes(spark):
             if m.contains("numPartitions"):
                 scans.append(m.apply("numPartitions").value())
     assert scans == [N_PROBE], (scans, plan)
+
+
+def test_observe_metrics_piggyback(spark):
+    """quality_observe_metrics: the metrics must ride the rollup job's
+    own plan as a CollectMetrics node — not a second scan. The
+    returned frame is the bounded driver-side metrics row, so the pin
+    inspects the OBSERVED job's plan the same way the op builds it."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("audit_pin")
+    orders = load_table(spark, SMOKE_SF, "orders").observe(
+        obs, F.count(F.lit(1)).alias("n_rows")
+    )
+    rollup = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    plan = explain_str(rollup)
+    assert "CollectMetrics" in plan, plan[:2000]
+    # exactly one scan NODE (formatted explain prints each node once in
+    # the tree and once in the detail section): zero extra passes
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+
+
+def test_parameterized_sql_pushes_bound_literals(spark):
+    """sql_api_parameterized_revenue: analyzer-bound parameters must
+    constant-fold like inline literals — the o_totalprice predicate
+    reaches the parquet scan as a pushed filter."""
+    from pwir_zadanie_4_mapreduce_spark.operators.advanced import (
+        sql_api_parameterized_revenue,
+    )
+
+    df = sql_api_parameterized_revenue(spark, SMOKE_SF)
+    assert has_pushed_filters(df), "bound :min_price must push to the scan"
+
+
+def test_collated_grouping_single_exchange(spark):
+    """scalar_collated_grouping: a collated groupBy is still one
+    partial-agg + one exchange — collation changes comparison
+    semantics, not the aggregation topology."""
+    from pwir_zadanie_4_mapreduce_spark.operators.advanced import (
+        scalar_collated_grouping,
+    )
+
+    plan = explain_str(scalar_collated_grouping(spark, SMOKE_SF))
+    assert plan.count("Arguments: hashpartitioning") <= 1, plan[:2000]
