@@ -69,3 +69,21 @@ def test_blocked_flag_accepted():
     args = _build_parser().parse_args(["laplace", "--blocked", "4"])
     assert args.blocked and args.n == 4
     assert main(["laplace", "--blocked", "1"]) == 1  # N < 2 rejected
+
+
+def test_driver_sample_rotation_least_recently_sampled_first():
+    """queries() ordering is the driver's per-round sample: with the
+    r1-r8 sweep complete (every name sampled at least once), the head
+    must now be the LEAST-recently-sampled names — last-checked round
+    numbers must be non-decreasing across the mapping, so stale r1-era
+    evidence refreshes before twice-sampled recent names."""
+    import __spark_entry__ as entrymod
+
+    last = entrymod._last_driver_checked_round()
+    rounds = [last.get(name, 0) for name in entrymod.queries()]
+    assert rounds == sorted(rounds), rounds[:20]
+    if last:  # artifacts present (always true in this repo)
+        # never-sampled names (round-9 adds) and the stalest round
+        # lead; the most recently sampled round trails
+        assert rounds[0] <= min(last.values())
+        assert rounds[-1] == max(last.values())
