@@ -529,7 +529,9 @@ def salted_join(
     "join_salted_order_revenue",
     oracle="""
     SELECT o.o_orderpriority,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                     * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 4) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
@@ -555,7 +557,20 @@ def join_salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("o_orderpriority")
         .agg(
-            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            # fixed-point revenue (round-9): FLOOR(x*1e4+0.5) of the
+            # identical per-row double is the same int64 in every
+            # engine, and integer sums are order-independent — the
+            # double-sum spelling flipped the 4th decimal at sf0.1
+            # (~6e9 totals, ~1.2e5 addends) purely on summation order
+            _r4(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + F.lit(0.5)
+                    )
+                )
+                / 10000.0
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("o_orderpriority")
@@ -569,7 +584,9 @@ _SKEW_HOT_THRESHOLD = 7  # fact rows per key ⇒ "hot" (fixture: top ~1/7 of ord
     "join_skew_aqe_order_revenue",
     oracle="""
     SELECT o.o_orderpriority,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                     * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 4) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
@@ -648,7 +665,20 @@ def join_skew_aqe_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("o_orderpriority")
         .agg(
-            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            # fixed-point revenue (round-9): FLOOR(x*1e4+0.5) of the
+            # identical per-row double is the same int64 in every
+            # engine, and integer sums are order-independent — the
+            # double-sum spelling flipped the 4th decimal at sf0.1
+            # (~6e9 totals, ~1.2e5 addends) purely on summation order
+            _r4(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + F.lit(0.5)
+                    )
+                )
+                / 10000.0
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("o_orderpriority")

@@ -630,7 +630,9 @@ EXPECTATION_RULES = [
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COUNT(*) FILTER (WHERE o_totalprice > 300000.0)
                     AS BIGINT) AS n_big,
-               ROUND(SUM(o_totalprice), 4) AS sum_price
+               ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 100.0, 4)
+                 AS sum_price
         FROM orders),
     g AS (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
                  AS n_status_groups FROM orders)
@@ -659,7 +661,10 @@ def quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs,
         F.count(F.lit(1)).alias("n_rows"),
         F.count_if(F.col("o_totalprice") > 300000.0).alias("n_big"),
-        dround(F.sum("o_totalprice"), 4).alias("sum_price"),
+        # fixed-point cents sum: order-independent (see join_range_binned)
+        dround(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))) / 100.0, 4
+        ).alias("sum_price"),
     )
     rollup = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
     n_groups = len(rollup.collect())  # the action that populates obs

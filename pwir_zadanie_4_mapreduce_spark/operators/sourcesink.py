@@ -243,7 +243,8 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) FILTER (o_orderkey % 2 = 0) AS BIGINT) AS n_missing_priority,
-           ROUND(SUM(o_totalprice), 4) AS sum_price
+           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 4) AS sum_price
     FROM orders
     """,
 )
@@ -278,5 +279,8 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias(
             "n_missing_priority"
         ),
-        dround(F.sum("o_totalprice"), 4).alias("sum_price"),
+        # fixed-point cents sum (round-9): see join_range_binned note
+        dround(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))) / 100.0, 4
+        ).alias("sum_price"),
     )

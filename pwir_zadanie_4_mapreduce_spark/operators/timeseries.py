@@ -100,7 +100,9 @@ RANGE_MONTH = "1995-03"
     oracle=f"""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(SUM(l.l_extendedprice), 4) AS total_value
+           ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)) AS DOUBLE)
+                 / 100.0, 4) AS total_value
     FROM orders o JOIN lineitem l
       ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
      AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + {RANGE_SPAN_DAYS}
@@ -167,7 +169,12 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_pairs"),
-            dround(F.sum("value"), 4).alias("total_value"),
+            # fixed-point cents sum (round-9): order-independent int64
+            # arithmetic — the double sum flipped the 4th decimal at
+            # sf0.1 (~1.4e10 totals) on summation order alone
+            dround(
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0, 4
+            ).alias("total_value"),
         )
         .orderBy("o_orderpriority")
     )
