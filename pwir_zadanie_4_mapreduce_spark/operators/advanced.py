@@ -1838,6 +1838,53 @@ def scalar_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_transpose_status_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderstatus AS st,
+               ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_price,
+               ROUND(MAX(o_totalprice), 4) AS max_price
+        FROM orders GROUP BY o_orderstatus)
+    SELECT 'avg_price' AS key,
+           MAX(CASE WHEN st = 'F' THEN avg_price END) AS "F",
+           MAX(CASE WHEN st = 'O' THEN avg_price END) AS "O",
+           MAX(CASE WHEN st = 'P' THEN avg_price END) AS "P"
+    FROM m
+    UNION ALL
+    SELECT 'max_price',
+           MAX(CASE WHEN st = 'F' THEN max_price END),
+           MAX(CASE WHEN st = 'O' THEN max_price END),
+           MAX(CASE WHEN st = 'P' THEN max_price END)
+    FROM m
+    ORDER BY key
+    """,
+)
+def agg_transpose_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): flip a bounded metrics frame so
+    metrics become rows and group values become columns — the
+    report-orientation step every BI export does, previously a
+    hand-written unpivot+pivot pair and now one relational operator
+    (the frame must be BOUNDED: its row count becomes the column
+    count, so transpose is for group-level summaries, never raw
+    data). The oracle is exactly that classical rewrite, so the two
+    spellings must agree; the avg uses the fixed-point cents sum
+    (see join_range_binned) because a ~1e10 double sum's order can
+    flip the 4th decimal at scale."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(
+            dround(F.sum(cents) / 100.0 / F.count("*"), 4).alias("avg_price"),
+            dround(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .orderBy("st")
+    )
+    return m.transpose().orderBy("key")
+
+
+@register(
     "scalar_try_arithmetic",
     oracle="""
     SELECT event_type,
