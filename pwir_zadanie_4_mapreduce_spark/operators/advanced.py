@@ -1885,6 +1885,53 @@ def agg_transpose_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_listagg_priority_digest",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_listagg_priority_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG (Spark 4 / SQL:2023): ordered string concatenation as a
+    true aggregate — `listagg(DISTINCT x, ',') WITHIN GROUP (ORDER BY
+    x)` — the audit-digest spelling (which priorities a status ever
+    carried, as one scannable cell) that previously took
+    collect_set + array_sort + array_join. WITHIN GROUP ordering makes
+    the cell deterministic, so it hash-matches DuckDB's
+    string_agg(DISTINCT ... ORDER BY) twin exactly. Groups and
+    distinct-value sets are bounded (statuses × priorities), so the
+    agg is one partial-combinable exchange at any scale.
+
+    The customer count rides in a SEPARATE aggregate joined back on
+    the (3-row) group key: mixing ListAgg with another DISTINCT
+    aggregate in one Aggregate trips a Spark 4.1 distinct-rewrite bug
+    (ClassCastException in ListAgg.withNewChildrenInternal — the
+    rewrite hands the SortOrder child back as a bare attribute)."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH digest AS (
+            SELECT o_orderstatus,
+                   listagg(DISTINCT o_orderpriority, ',')
+                     WITHIN GROUP (ORDER BY o_orderpriority) AS priorities
+            FROM orders GROUP BY o_orderstatus),
+        cust AS (
+            SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+            FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, priorities, n_customers
+        FROM digest JOIN cust USING (o_orderstatus)
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+@register(
     "scalar_try_arithmetic",
     oracle="""
     SELECT event_type,
