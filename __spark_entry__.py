@@ -47,7 +47,19 @@ def _last_driver_checked_round() -> dict[str, int]:
     taken on since-rewritten plans, refresh before twice-sampled r8
     names. Every query is still present and every query still runs the
     identical parity check in tests/test_oracle_parity.py; this only
-    rotates which ones the per-round artifact documents."""
+    rotates which ones the per-round artifact documents.
+
+    Retired names are dropped: the artifact history spans renames
+    (e.g. r3's ``join_asof_last_event_before_order``, since renamed),
+    and a dead name must not pin ``min(last.values())`` below every
+    live name's round — only names still in the registry matter for
+    rotation order."""
+    live = set(QUERIES) | {
+        "laplace_sor_n8",
+        "laplace_sor_n4",
+        "laplace_blocked_sor_n8",
+        "laplace_blocked_sor_n4",
+    }
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -58,6 +70,8 @@ def _last_driver_checked_round() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, rec in records.items():
+            if name not in live:
+                continue  # retired / renamed since that round's sample
             # an errored sample (e.g. the r1/r6 `no_oracle` rows before
             # those queries gained oracles) is NOT a completed check —
             # keep such names at the front so the driver re-samples

@@ -1758,7 +1758,8 @@ def udtf_dynamic_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS revenue
+           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 4) AS revenue
     FROM orders
     WHERE o_totalprice > 150000.0 AND o_orderdate >= DATE '1995-01-01'
     GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -1773,6 +1774,9 @@ def sql_api_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     SQL entry point exposed to applications needs). Catalyst constant-
     folds the bound literals exactly like inline ones — same pushdown,
     same plan; the oracle is the same text with the literals inlined.
+    The per-priority sums are ~4e9 at sf0.1 — the magnitude where a
+    plain double sum's fold order flips the 4th decimal — so both
+    engines sum fixed-point cents (the round-9 money-sum convention).
     """
     from pwir_zadanie_4_mapreduce_spark.catalog import register_views
 
@@ -1781,7 +1785,7 @@ def sql_api_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         """
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               SUM(o_totalprice) AS raw_revenue
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
         FROM orders
         WHERE o_totalprice > :min_price AND o_orderdate >= :since
         GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -1789,7 +1793,9 @@ def sql_api_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         args={"min_price": 150000.0, "since": "1995-01-01"},
     )
     return raw.select(
-        "o_orderpriority", "n_orders", dround(F.col("raw_revenue"), 4).alias("revenue")
+        "o_orderpriority",
+        "n_orders",
+        dround(F.col("cents").cast("double") / 100.0, 4).alias("revenue"),
     )
 
 

@@ -441,7 +441,7 @@ def agg_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
-             <= COUNT(DISTINCT user_id) * 0.05 AS approx_in_band
+             <= COUNT(DISTINCT user_id) * 0.10 AS approx_in_band
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -471,7 +471,11 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     query emits the EXACT per-group distinct (hash-compared
     cross-engine) plus a boolean asserting the estimate lands within
     5× the configured rsd (2 % → ±10 % band, ≈5σ: deterministic for a
-    fixed dataset, generous enough to never flap)."""
+    fixed dataset, generous enough to never flap). The oracle attests
+    DuckDB's own approx_count_distinct with the SAME ±10 % band —
+    DuckDB's HLL error isn't calibrated to a tighter bound, and an
+    asymmetric band could flip the oracle boolean alone at a new
+    scale factor (round-9 ADVICE)."""
     ev = load_table(spark, sf_dir, "events")
     lvl1 = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
     approx = F.approx_count_distinct("user_id", rsd=0.02)

@@ -578,6 +578,13 @@ def _events_stream_split(spark: SparkSession, sf_dir: str, n_batches: int = 2) -
     d = _split_dir_path(sf_dir, n_batches)
     marker = os.path.join(d, "_SPLIT_DONE")
     if not os.path.exists(marker):
+        # scratch reaping (round-9 ADVICE): the split dir is pid-tagged,
+        # so without this every test/bench process leaves a parquet copy
+        # of events under /tmp — mirror the IVF index atexit cleanup.
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "ts", "value"
         )

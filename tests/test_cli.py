@@ -5,6 +5,8 @@ the operator tests; here we pin the parse/validation behavior."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from pwir_zadanie_4_mapreduce_spark.cli import main
@@ -87,3 +89,21 @@ def test_driver_sample_rotation_least_recently_sampled_first():
         # lead; the most recently sampled round trails
         assert rounds[0] <= min(last.values())
         assert rounds[-1] == max(last.values())
+
+
+def test_rotation_ignores_retired_names(tmp_path, monkeypatch):
+    """A name sampled in an old round but since renamed/retired must not
+    appear in _last_driver_checked_round(): through r9 the r3 artifact's
+    join_asof_last_event_before_order pinned min(last.values()) below
+    every live name's round and broke the rotation invariant."""
+    import __spark_entry__ as entrymod
+
+    art = {
+        "join_asof_last_event_before_order": {"hash_match": True, "err": None},
+        "agg_listagg_priority_digest": {"hash_match": True, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(art))
+    monkeypatch.setattr(entrymod, "_REPO_DIR", str(tmp_path))
+    last = entrymod._last_driver_checked_round()
+    assert "join_asof_last_event_before_order" not in last
+    assert last == {"agg_listagg_priority_digest": 3}
