@@ -245,6 +245,57 @@ def _multifile_dir(spark, src_dir: str) -> tuple[str, str]:
     return dst, "multifile-32"
 
 
+def _testdata_fingerprint(src_dir: str) -> dict[str, str]:
+    """Per-table row count + content hash of the SOURCE fixtures
+    (round-9 verdict #6): when a cross-round per-query delta appears,
+    "driver regenerated the data" vs "host band" becomes mechanically
+    decidable by diffing this field between the two records. Row counts
+    come from the parquet footer (no data read); the hash is md5 of the
+    file bytes (fixtures are ~17 MB at sf0.1 — negligible)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, str] = {}
+    for name in sorted(os.listdir(src_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(src_dir, name)
+        md5 = hashlib.md5()
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                md5.update(chunk)
+        rows = pq.ParquetFile(path).metadata.num_rows
+        out[name[: -len(".parquet")]] = f"{rows}:{md5.hexdigest()[:12]}"
+    return out
+
+
+def _load_bench_ref() -> dict[str, float]:
+    """Committed per-query fast-window steady-state reference
+    (bench_ref.json) — the basis of the median-ratio host normalizer.
+    Empty dict if absent/unreadable (normalizer then disabled)."""
+    try:
+        with open(os.path.join(REPO_ROOT, "bench_ref.json")) as fh:
+            return {k: float(v) for k, v in json.load(fh)["queries"].items()}
+    except (OSError, ValueError, KeyError):
+        return {}
+
+
+def _host_factor(timings: dict[str, float], ref: dict[str, float]) -> tuple[float | None, int]:
+    """Median of per-query current/reference ratios — the host-band
+    estimate. Replaces the 2-sample q1 canary mean (round-9 close: the
+    canary normalizer INVERTED the ordering of two honest runs because
+    a 2-sample mean is ~±30% noisy; the median over ~146 query ratios
+    is robust both to sampling noise and to a minority of genuine plan
+    changes, which shift their own ratios but not the median)."""
+    import statistics
+
+    ratios = [t / ref[q] for q, t in timings.items() if ref.get(q, 0) >= 0.1]
+    if len(ratios) < 20:
+        return None, len(ratios)
+    return statistics.median(ratios), len(ratios)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -256,6 +307,7 @@ def main() -> None:
         cpus=cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    src_sf_dir = sf_dir
     sf_dir, layout = _multifile_dir(spark, sf_dir)
     import __spark_entry__ as entrymod
 
@@ -349,6 +401,36 @@ def main() -> None:
             extra_runs += 1
         timings[name] = round(min(runs), 3)
 
+    # Stall-proofing pass (round-9 verdict #4: sim_topk_pq's committed
+    # 2.94 s was a host stall; steady state 1.13-1.45 s). A query whose
+    # min-of-N still exceeds 1.5× its expected cost in THIS window
+    # (host_factor × committed reference) had every run land in a stall
+    # — re-run it once; if it stays over the band, the entry is marked
+    # stall_suspect in the JSON instead of silently polluting the
+    # round-over-round record.
+    ref = _load_bench_ref() if canonical_config else {}
+    stall_suspects: list[str] = []
+    stall_reruns = 0
+    factor0, _ = _host_factor(timings, ref)
+    if factor0 is not None:
+        band = max(1.0, factor0)
+        suspects = [
+            q for q, t in timings.items()
+            if ref.get(q, 0) >= 0.1 and t > 1.5 * band * ref[q]
+        ]
+        for name in suspects[:12]:  # bound the extra cost
+            release_storage()
+            t0 = time.monotonic()
+            materialize(queries[name](spark, sf_dir))
+            timings[name] = round(min(timings[name], time.monotonic() - t0), 3)
+            stall_reruns += 1
+        factor1, _ = _host_factor(timings, ref)
+        band = max(1.0, factor1 if factor1 is not None else band)
+        stall_suspects = sorted(
+            q for q, t in timings.items()
+            if ref.get(q, 0) >= 0.1 and t > 1.5 * band * ref[q]
+        )
+
     # end-of-run canary: the host band is TIME-VARYING — a fast window
     # at start does not certify the whole run. A degraded end canary
     # marks the record as drift-contaminated (re-run it).
@@ -363,24 +445,36 @@ def main() -> None:
         canary_verdict = "drifted"
 
     total = round(sum(timings.values()), 3)
-    # Canary-normalized total (round-8 verdict #5): scale the total to
-    # what it would read in a window where q1 costs exactly the
-    # fast-window reference, so cross-window records compare
-    # mechanically (the r8 driver-vs-builder 108.4 vs 90.05 s gap was
-    # explained by the canaries but required a human to do the
-    # division). Uses the start/end canary mean — the band is
-    # time-varying across the ~90 s run. Only computed for the
-    # canonical config the reference is calibrated against.
+    # Median-ratio-normalized total (round-9 verdict #2, replacing the
+    # round-8 q1-canary normalizer): scale the total by the MEDIAN of
+    # per-query current/reference ratios against the committed
+    # bench_ref.json fast-window vector. The r9 close proved the
+    # 2-sample q1 canary mean inverts orderings (raw 83.6 vs 93.1 →
+    # normalized 105.4 vs 90.8); the 146-sample median maps the two
+    # full r9 records (raw 83.6 / 96.5, identical code) to 83.65 /
+    # 83.17 — a 0.6 % gap. Robust to a minority of genuine plan
+    # changes (they move their own ratios, not the median); the ref
+    # vector must be refreshed at round close when plans change
+    # broadly. Only computed for the canonical config. The q1 canaries
+    # stay recorded as window diagnostics, not as the normalizer.
     normalized_total = None
+    host_factor = None
+    n_ref_shared = 0
     if canonical_config:
-        canary_avg = (canary_q1_s + canary_end_q1_s) / 2
-        if canary_avg > 0:
-            normalized_total = round(total * canary_ref / canary_avg, 3)
+        host_factor, n_ref_shared = _host_factor(timings, ref)
+        if host_factor:
+            normalized_total = round(total / host_factor, 3)
+            host_factor = round(host_factor, 4)
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": total,
             "normalized_total": normalized_total,
+            "normalizer": "median_ratio_vs_bench_ref",
+            "host_factor": host_factor,
+            "n_ref_shared": n_ref_shared,
+            "stall_suspects": stall_suspects,
+            "stall_reruns": stall_reruns,
             "unit": "sec",
             "queries": timings,
             "sf": sf_val,
@@ -392,6 +486,7 @@ def main() -> None:
             "canary_end_q1_s": canary_end_q1_s,
             "canary_fast_ref_s": canary_ref,
             "canary_verdict": canary_verdict,
+            "testdata_fingerprint": _testdata_fingerprint(src_sf_dir),
             "master": os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"),
         }
     )

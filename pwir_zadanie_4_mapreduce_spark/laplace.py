@@ -66,9 +66,15 @@ def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
     within a single solve (~0.5 GB/chunk at N=8192) — a solve must hold
     exactly one live grid, like the reference's two malloc'd buffers
     (laplace-seq.c:166-170)."""
+    from pwir_zadanie_4_mapreduce_spark.functions.lineage import cut_lineage
+
     sc = df.sparkSession.sparkContext
     before = _persisted_rdd_ids(sc)
-    out = df.localCheckpoint()  # eager: materialized on return
+    # eager: materialized on return. Reliable mode (see functions/
+    # lineage.py) writes checkpoint FILES instead of blocks — the id
+    # diff is then empty and per-chunk cleanup is the checkpoint dir's
+    # (old grids cost disk, not executor memory).
+    out = cut_lineage(df, eager=True)
     return out, _persisted_rdd_ids(sc) - before
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
 from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+from pwir_zadanie_4_mapreduce_spark.functions.lineage import cut_lineage
 
 
 def _r4(c: Column) -> Column:
@@ -630,7 +631,7 @@ def join_skew_aqe_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .filter(F.col("count") >= _SKEW_HOT_THRESHOLD)
         .select(F.col("l_orderkey").alias("hot_key"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     sf = (
         li.join(F.broadcast(hot), li["l_orderkey"] == hot["hot_key"], "left")
@@ -2173,7 +2174,7 @@ def layout_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({_morton_terms('cx', 'dy', 'div')}) div {1 << ZORDER_BLOCK_SHIFT}"),
         )
     )
-    base = base.localCheckpoint(eager=False)  # blocks + exact count reuse it
+    base = base.transform(cut_lineage)  # blocks + exact count reuse it
     blocks = base.groupBy("block").agg(
         F.count("*").alias("n"),
         F.min("o_custkey").alias("min_cust"),

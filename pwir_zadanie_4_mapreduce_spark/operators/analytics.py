@@ -22,6 +22,7 @@ from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
 from pwir_zadanie_4_mapreduce_spark.functions.textfn import tokenize
 from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+from pwir_zadanie_4_mapreduce_spark.functions.lineage import cut_lineage
 
 
 @register(
@@ -890,7 +891,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("part_b").alias("u"), F.col("part_a").alias("v"), "support"
             )
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -904,7 +905,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.groupBy("n")
             .agg(F.min(F.struct((-F.col("w")).alias("nw"), F.col("label"))).alias("s"))
             .select(F.col("n").alias("node"), F.col("s.label").alias("label"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     return labels.select(
         F.col("node").alias("part"), F.col("label").alias("community")
@@ -976,7 +977,7 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = pairs.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     # Node degrees WITHOUT a pass over the doubled edge list: the graph
     # is bipartite, so a part node's degree is its fwd.src count and a
     # supplier node's its fwd.dst count — two aggs over |E|/2 rows,
@@ -989,7 +990,7 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     degD = (
         fwd.groupBy("dst").agg(F.count("*").alias("odeg")).withColumnRenamed("dst", "src")
     )
-    deg = degS.unionByName(degD).localCheckpoint(eager=False)
+    deg = degS.unionByName(degD).transform(cut_lineage)
     edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # Bare 2-column edge list HASH-PARTITIONED BY dst and CACHED
     # (round-5 verdict #4): the broadcast rank join and the projection
@@ -1341,7 +1342,7 @@ def warehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groups the delta batch touches — delta-batch-sized, broadcast
     affected = (
         updated.filter(is_delta).select("o_orderpriority", "m").distinct()
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     carried = stale_mv.join(
         F.broadcast(affected), ["o_orderpriority", "m"], "left_anti"
     )
@@ -1465,7 +1466,7 @@ def timeseries_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame
     keyed = ev.select(
         "event_id", "value", dow.alias("dow"), F.hour("ts").alias("hour")
     )
-    keyed = keyed.localCheckpoint(eager=False)  # baseline + scoring reuse it
+    keyed = keyed.transform(cut_lineage)  # baseline + scoring reuse it
     baseline = keyed.groupBy("dow", "hour").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
@@ -1897,7 +1898,7 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .localCheckpoint(eager=False)  # reused: n_orders, freq, pairs
+        .transform(cut_lineage)  # reused: n_orders, freq, pairs
     )
     n_orders = baskets.agg(F.count("*").alias("n_orders"))
     freq = (
@@ -2047,7 +2048,7 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
     )
-    days = days.localCheckpoint(eager=False)  # feeds DAU and the WAU fan-out
+    days = days.transform(cut_lineage)  # feeds DAU and the WAU fan-out
     dau = days.groupBy(F.col("d").alias("day")).agg(F.count("*").alias("dau"))
     fan = days.select(
         "user_id",
@@ -2231,7 +2232,7 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     firsts = days.groupBy("user_id").agg(F.min("d").alias("first_d"))
     yesterday = days.select("user_id", F.col("d").alias("y_d"))
     tagged = (
@@ -2300,7 +2301,7 @@ def events_churn_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     last_day = days.agg(F.max("d").alias("last_d"))
     candidates = days.select("user_id", F.date_add("d", 1).alias("d"))
     churned = (

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
 from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+from pwir_zadanie_4_mapreduce_spark.functions.lineage import cut_lineage
 
 FINE_BINS = 256
 
@@ -119,7 +120,7 @@ def agg_equidepth_histogram_binned(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("o_totalprice").alias("lo_b"),
         F.max("o_totalprice").alias("hi_b"),
     )
-    fine = fine.localCheckpoint(eager=False)  # reused: both triangle sides + total
+    fine = fine.transform(cut_lineage)  # reused: both triangle sides + total
     tot = fine.agg(F.sum("n_b").alias("t"))
     cum = (
         fine.alias("a")
@@ -183,7 +184,7 @@ def stats_gini_revenue_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bin_col(F.col("s"), F.col("lo_v"), F.col("hi_v")).alias("bin"), "s"
     )
     fine = b.groupBy("bin").agg(F.count("*").alias("n_b"), F.sum("s").alias("s_b"))
-    fine = fine.localCheckpoint(eager=False)
+    fine = fine.transform(cut_lineage)
     tot = fine.agg(F.sum("n_b").alias("n"), F.sum("s_b").alias("ts"))
     sad = (
         fine.alias("a")
@@ -252,7 +253,7 @@ def stats_pareto_revenue_share_binned(spark: SparkSession, sf_dir: str) -> DataF
         _bin_col(F.col("s"), F.col("lo_v"), F.col("hi_v")).alias("bin"), "s"
     )
     fine = b.groupBy("bin").agg(F.count("*").alias("n_b"), F.sum("s").alias("r_b"))
-    fine = fine.localCheckpoint(eager=False)
+    fine = fine.transform(cut_lineage)
     tot = fine.agg(F.sum("n_b").alias("n"), F.sum("r_b").alias("ts"))
     cum = (
         fine.alias("a")
@@ -374,7 +375,7 @@ def events_rfm_segments_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bin_col(F.col("frequency"), F.col("f_lo"), F.col("f_hi")).alias("f_bin"),
         _bin_col(F.col("monetary"), F.col("m_lo"), F.col("m_hi")).alias("m_bin"),
     )
-    pu = pu.localCheckpoint(eager=False)  # reused by 3 bin rollups + final join
+    pu = pu.transform(cut_lineage)  # reused by 3 bin rollups + final join
 
     def quartiles(bin_name: str, ascending: bool) -> DataFrame:
         # cumulative count via the bounded triangle join over the BIN
@@ -466,7 +467,7 @@ def agg_weighted_median_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo_b"),
         F.max("l_extendedprice").alias("hi_b"),
     )
-    fine = fine.localCheckpoint(eager=False)
+    fine = fine.transform(cut_lineage)
     tot = fine.groupBy("l_returnflag").agg(F.sum("w_b").alias("tot_w"))
     cum = (
         fine.alias("a")
@@ -546,7 +547,7 @@ def stats_ks_test_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_a"), F.lit(1))).alias("ca"),
         F.count(F.when(~F.col("is_a"), F.lit(1))).alias("cb"),
     )
-    fine = fine.localCheckpoint(eager=False)
+    fine = fine.transform(cut_lineage)
     tot = fine.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     cum = (
         fine.alias("a")

@@ -39,6 +39,7 @@ from pwir_zadanie_4_mapreduce_spark.functions.textfn import (
 from pwir_zadanie_4_mapreduce_spark.functions.vectors import dot, l2_norm
 from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
 from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+from pwir_zadanie_4_mapreduce_spark.functions.lineage import cut_lineage
 
 SHINGLE_WORDS = 3
 JACCARD_THRESHOLD = 0.5
@@ -142,7 +143,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy checkpoint: the self-join reads the shingling twice
     # (~2× query time without it). At 100 TB the equivalent is
     # staging this frame to a table, not caching it in memory.
-    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _hashed_shingles(spark, sf_dir).transform(cut_lineage)
     posting = sh.select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h"))
     a = posting.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h")
     b = posting.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h")
@@ -208,7 +209,7 @@ def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # checkpoint: feeds the capped posting index AND both full-set
     # verification sides
-    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _hashed_shingles(spark, sf_dir).transform(cut_lineage)
     posting = sh.select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h"))
     rare = posting.groupBy("h").agg(F.count("*").alias("df")).filter(
         F.col("df") <= DF_CAP
@@ -375,7 +376,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # lazy checkpoint: sh feeds the signature posting AND both
     # verification joins (see the staging note in dedup_ngram_jaccard)
-    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _hashed_shingles(spark, sf_dir).transform(cut_lineage)
     bands = MINHASH_PERMS // MINHASH_BAND_ROWS
     posting = sh.select("doc_id", F.explode("hs").alias("h"))
     sig = minhash_signature_agg(posting)
@@ -481,7 +482,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     cutoff = lo + math.floor(INCR_LSH_CUTOFF_FRACTION * (hi - lo))
-    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _hashed_shingles(spark, sf_dir).transform(cut_lineage)
     hist_sh = sh.filter(F.col("doc_id") < cutoff)
     new_sh = sh.filter(F.col("doc_id") >= cutoff)
     hist_bands = _band_keys(
@@ -552,7 +553,7 @@ def connected_components(
         .unionByName(edges.select(F.col("v").alias("node"), F.col("u").alias("label")))
         .groupBy("node")
         .agg(F.min("label").alias("label"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     for _ in range(max_iterations - 1):
         # each node's OWN previous label rides the union as a second
@@ -567,7 +568,7 @@ def connected_components(
             own.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("own").alias("own"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         changed = new_labels.filter(F.col("label") != F.col("own")).limit(1).count()
         labels = new_labels.select("node", "label")
@@ -603,7 +604,7 @@ def connected_components_star(
         edges.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     for _ in range(max_iterations):
         # large-star over both orientations: m = least(min neighbor, u)
@@ -627,7 +628,7 @@ def connected_components_star(
             .select(F.col("m").alias("a"), F.col("v").alias("b"))
             .unionByName(smins.select(F.col("m").alias("a"), F.col("u").alias("b")))
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         changed = (
             new_E.exceptAll(E).unionByName(E.exceptAll(new_E)).limit(1).count()
@@ -661,7 +662,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)  # pair generation runs once, not per round
+        .transform(cut_lineage)  # pair generation runs once, not per round
     )
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -692,7 +693,7 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     paired_nodes = (
@@ -746,7 +747,7 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
@@ -760,7 +761,7 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("doc_id"),
             F.coalesce("label", "node").alias("canonical_id"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 15), 16, 10)
@@ -1026,7 +1027,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint(eager=False)  # pair generation runs once, feeds 3 legs
+        .transform(cut_lineage)  # pair generation runs once, feeds 3 legs
     )
     e1 = pairs.select(F.col("a"), F.col("b"))
     e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
@@ -1174,7 +1175,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asymmetric containment is precisely about unequal sizes), so the
     100 TB skew guard is the df-cap (dedup_ngram_jaccard_dfcap's
     device), not the ratio. Cost remains Σ_h C(df_h, 2)."""
-    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _hashed_shingles(spark, sf_dir).transform(cut_lineage)
     posting = sh.select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h"))
     a = posting.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h")
     b = posting.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h")

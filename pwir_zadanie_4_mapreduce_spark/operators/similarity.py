@@ -28,6 +28,7 @@ from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 from pwir_zadanie_4_mapreduce_spark.functions.vectors import dot, l2_norm
 from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
 from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+from pwir_zadanie_4_mapreduce_spark.functions.lineage import cut_lineage
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -308,7 +309,7 @@ def kmeans_book(
         r["centroid_id"]: list(r["cv"]) for r in centroids.collect()
     }  # id → components; unit-normalized below for a uniform contract
     book = {cid: _unit(v) for cid, v in book.items()}
-    train = e.filter(F.col("nrm") > 0).localCheckpoint(eager=False)
+    train = e.filter(F.col("nrm") > 0).transform(cut_lineage)
     for _ in range(iters):
         # literal-codebook argmax (round-8): bit-identical to the old
         # crossJoin+Window assign_centroids (same fold dots, same
@@ -463,7 +464,7 @@ def _quantized_kmeans_book(
         samp = samp.filter(md5_bucket == 0)
     samp = (
         samp.select("vec_id", "v", "nrm")
-        .localCheckpoint(eager=False)  # Lloyd jobs re-read the bounded set
+        .transform(cut_lineage)  # Lloyd jobs re-read the bounded set
     )
     book = {
         r["vec_id"]: list(r["v"]) for r in samp.orderBy("vec_id").limit(k).collect()

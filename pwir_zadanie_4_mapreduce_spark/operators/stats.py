@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
 from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+from pwir_zadanie_4_mapreduce_spark.functions.lineage import cut_lineage
 
 
 def _r4(c: Column) -> Column:
@@ -170,7 +171,7 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
     )
     cells = orders.groupBy("x", "y").agg(F.count("*").alias("c"))
-    cells = cells.localCheckpoint(eager=False)  # margins + join reuse it
+    cells = cells.transform(cut_lineage)  # margins + join reuse it
     mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
     my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
     tot = cells.agg(F.sum("c").alias("n"))
@@ -472,7 +473,7 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     members = (
         orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     ks = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("k")
 
     def bitpos(k: Column, key: Column) -> Column:
@@ -579,7 +580,7 @@ def _bigram_doc_logprobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("t")
     )
-    docs = docs.localCheckpoint(eager=False)  # tokens feed unigrams AND bigrams
+    docs = docs.transform(cut_lineage)  # tokens feed unigrams AND bigrams
     uni = docs.select(F.explode("t").alias("w"))
     c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
     vocab = uni.agg(F.countDistinct("w").alias("vocab"))
@@ -664,7 +665,7 @@ def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast and the audit a sources-bounded agg. Docs with
     <2 tokens have no bigrams and are excluded from scoring by
     construction."""
-    scored = _bigram_doc_logprobs(spark, sf_dir).localCheckpoint(eager=False)
+    scored = _bigram_doc_logprobs(spark, sf_dir).transform(cut_lineage)
     mean_lp = scored.agg(F.avg("avg_lp").alias("mean_lp"))
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     kept = dround(F.col("avg_lp"), 4) >= dround(F.col("mean_lp"), 4)
@@ -721,7 +722,7 @@ def quality_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame
         "source", F.explode(_tokens(F.col("text"))).alias("w")
     )
     cs = st.groupBy("source", "w").agg(F.count("*").alias("c"))
-    cs = cs.localCheckpoint(eager=False)  # three re-aggregations below
+    cs = cs.transform(cut_lineage)  # three re-aggregations below
     cc = cs.groupBy("w").agg(F.sum("c").alias("c_corpus"))
     ns = cs.groupBy("source").agg(F.sum("c").alias("n_src"))
     nc = cs.agg(F.sum("c").alias("n_corpus"))
@@ -785,7 +786,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     p1 = edges.filter(F.col("s") == 1).select("p").distinct()
     s2 = (
         edges.join(F.broadcast(p1), "p", "left_semi")
@@ -1165,7 +1166,7 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
     )
     cells = orders.groupBy("x", "y").agg(F.count("*").alias("c"))
-    cells = cells.localCheckpoint(eager=False)
+    cells = cells.transform(cut_lineage)
     mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
     my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
     tot = cells.agg(F.sum("c").alias("n"))
@@ -1236,7 +1237,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(arm_a, 1)).alias("ca"),
         F.count(F.when(~arm_a, 1)).alias("cb"),
     )
-    per_value = per_value.localCheckpoint(eager=False)  # totals + ecdf reuse
+    per_value = per_value.transform(cut_lineage)  # totals + ecdf reuse
     tot = per_value.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     # asc_nulls_last: Spark defaults to NULLS FIRST, DuckDB to NULLS
     # LAST — pin the ECDF walk order so a NULL value can't flip parity.
@@ -1343,7 +1344,7 @@ def quality_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("source", "lang")
         .agg(F.count("*").alias("n"))
     )
-    c = c.localCheckpoint(eager=False)
+    c = c.transform(cut_lineage)
     tot = c.groupBy("source").agg(F.sum("n").alias("t"))
     p = F.col("n").cast("double") / F.col("t")
     return (
@@ -2142,7 +2143,7 @@ def stats_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(F.sum("o_totalprice").alias("s"))
     )
-    rev = rev.localCheckpoint(eager=False)
+    rev = rev.transform(cut_lineage)
     tot = rev.groupBy("region").agg(F.sum("s").alias("t"))
     return (
         rev.join(F.broadcast(tot), "region")

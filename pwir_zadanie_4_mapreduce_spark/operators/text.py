@@ -16,6 +16,7 @@ from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 from pwir_zadanie_4_mapreduce_spark.functions.textfn import char_ngrams, tokenize
 from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
 from pwir_zadanie_4_mapreduce_spark.operators.registry import register
+from pwir_zadanie_4_mapreduce_spark.functions.lineage import cut_lineage
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -658,7 +659,7 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     )
     counts = tok.groupBy("w").agg(F.count("*").alias("c"))
-    counts = counts.localCheckpoint(eager=False)  # top + totals reuse it
+    counts = counts.transform(cut_lineage)  # top + totals reuse it
     top = counts.orderBy(F.desc("c"), "w").limit(VOCAB_SIZE)
     totals = counts.agg(
         F.count("*").alias("vocab_full"), F.sum("c").alias("tokens_total")
@@ -904,7 +905,7 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
         ).alias("w"),
     )
-    dt = dt.localCheckpoint(eager=False)  # vocab + baskets + N reuse it
+    dt = dt.transform(cut_lineage)  # vocab + baskets + N reuse it
     topv = (
         dt.groupBy("w").agg(F.count("*").alias("df"))
         .orderBy(F.desc("df"), "w")

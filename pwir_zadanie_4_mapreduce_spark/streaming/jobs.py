@@ -1019,6 +1019,175 @@ def run_restartable_tws_totals(spark: SparkSession, sf_dir: str, out_dir: str) -
     )
 
 
+def _tws_totals_start(spark: SparkSession, src_dir: str, rows_dir: str, ckpt_dir: str):
+    """Start the per-user typed-state totals topology over ``src_dir``
+    (one file per trigger, append-parquet sink, RocksDB checkpoint) —
+    shared by the graceful-restart job above (phase logic inline there
+    for historical reasons), the CRASH-restart job below, and its
+    kill -9 child process (tools-free: the child just imports this)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("tot", "n bigint, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = tuple(self._tot.get()) if self._tot.exists() else (0, 0.0)
+            for pdf in rows:
+                n += int(len(pdf))
+                s += float(pdf["value"].sum())
+            self._tot.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(s, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    _use_rocksdb(spark)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+    def append_rows(batch_df, batch_id):  # closure, no module refs
+        batch_df.write.mode("append").parquet(rows_dir)
+
+    return (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(append_rows)
+        .start()
+    )
+
+
+def run_crash_restart_tws_totals(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """CRASH-restart (kill -9) for transformWithState — the hard
+    sibling of run_restartable_tws_totals, whose stop() is a GRACEFUL
+    shutdown that lets the in-flight batch finish. Real failures
+    aren't graceful: phase 1 runs in a SEPARATE python/JVM process
+    (own SparkSession, same RocksDB checkpoint + append sink on
+    shared dirs) consuming the first two ts slices, and the parent
+    SIGKILLs it the moment the first micro-batch commit lands — the
+    process dies with whatever batch is in flight. Phase 2 starts a
+    brand-new query in THIS session on the same checkpoint: RocksDB
+    typed state and committed offsets must both recover, an in-flight
+    uncommitted batch is REPLAYED (recorded in LAST_PROGRESS — the
+    at-least-once window the idempotent sink absorbs: duplicate
+    update rows collapse under the monotone n_events struct-max), and
+    the final totals must equal the full batch aggregate exactly.
+    Committed offsets are proven by phase-2 input rows < total rows
+    (slice 1's commit survived the kill -9)."""
+    import os
+    import shutil
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import google.protobuf  # noqa: F401  (gate: required by the state protocol)
+
+    _events_stream_split(spark, sf_dir, STATEFUL_N_BATCHES)  # materialize slices
+    split_dir = _split_dir_path(sf_dir, STATEFUL_N_BATCHES)
+    src_dir = os.path.join(out_dir, "src")
+    rows_dir = os.path.join(out_dir, "rows")
+    ckpt_dir = os.path.join(out_dir, "ckpt")
+    child_cwd = os.path.join(out_dir, "child_cwd")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+    os.makedirs(child_cwd)
+    for i in range(1, STATEFUL_N_BATCHES):  # phase 1 input: all but last slice
+        shutil.copy(os.path.join(split_dir, f"{i:02d}.parquet"), src_dir)
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    script = os.path.join(out_dir, "phase1_child.py")
+    with open(script, "w") as fh:
+        fh.write(
+            "import sys\n"
+            f"sys.path.insert(0, {repo!r})\n"
+            "from pyspark.sql import SparkSession\n"
+            "spark = (SparkSession.builder.master('local[4]')\n"
+            "         .appName('tws-crash-phase1')\n"
+            "         .config('spark.ui.enabled', 'false')\n"
+            "         .config('spark.sql.shuffle.partitions', '4')\n"
+            "         .getOrCreate())\n"
+            "from pwir_zadanie_4_mapreduce_spark.streaming import jobs\n"
+            f"q = jobs._tws_totals_start(spark, {src_dir!r}, {rows_dir!r}, {ckpt_dir!r})\n"
+            "q.awaitTermination()  # never exits gracefully: parent kill -9s us\n"
+        )
+    child = subprocess.Popen(
+        [sys.executable, script],
+        cwd=child_cwd,  # isolate any spark-warehouse/derby litter
+        stdout=open(os.path.join(out_dir, "child.log"), "w"),
+        stderr=subprocess.STDOUT,
+    )
+    # kill -9 the moment the FIRST micro-batch commit exists — batch 2
+    # (slice 2) is then typically in flight and dies uncommitted
+    commits_dir = os.path.join(ckpt_dir, "commits")
+    deadline = time.monotonic() + 180
+    first_commit_seen = False
+    while time.monotonic() < deadline:
+        if os.path.isdir(commits_dir) and any(
+            not f.startswith(".") for f in os.listdir(commits_dir)
+        ):
+            first_commit_seen = True
+            break
+        if child.poll() is not None:
+            break
+        time.sleep(0.05)
+    commits_at_kill = (
+        sorted(f for f in os.listdir(commits_dir) if not f.startswith("."))
+        if os.path.isdir(commits_dir)
+        else []
+    )
+    assert child.poll() is None, "phase-1 child exited before the kill"
+    os.kill(child.pid, signal.SIGKILL)  # the crash — no stop(), no flush
+    child.wait(timeout=60)
+    # a commit can land in the instant between the listing above and
+    # the SIGKILL — the post-kill listing bounds the true count
+    commits_after_kill = (
+        sorted(f for f in os.listdir(commits_dir) if not f.startswith("."))
+        if os.path.isdir(commits_dir)
+        else []
+    )
+
+    shutil.copy(  # the data that arrives while the job was down
+        os.path.join(split_dir, f"{STATEFUL_N_BATCHES:02d}.parquet"), src_dir
+    )
+    q2 = _tws_totals_start(spark, src_dir, rows_dir, ckpt_dir)
+    q2.processAllAvailable()
+    phase2_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    q2.stop()
+    LAST_PROGRESS.clear()
+    LAST_PROGRESS["phase2_rows"] = phase2_rows
+    LAST_PROGRESS["first_commit_seen"] = first_commit_seen
+    LAST_PROGRESS["commits_at_kill"] = len(commits_at_kill)
+    LAST_PROGRESS["commits_after_kill"] = len(commits_after_kill)
+    LAST_PROGRESS["killed_pid"] = child.pid
+    raw = spark.read.parquet(rows_dir)
+    latest = F.max(F.struct("n_events", "total_value")).alias("st")
+    return raw.groupBy("user_id").agg(latest).select(
+        "user_id",
+        F.col("st.n_events").alias("n_events"),
+        F.col("st.total_value").alias("total_value"),
+    )
+
+
 def run_python_stream_source(spark: SparkSession, rows_per_batch: int = 128, total: int = 1000) -> DataFrame:
     """Structured Streaming from a PYTHON data source — the Spark 4
     API that lets a custom system (queue, ticker, internal feed) feed

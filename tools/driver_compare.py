@@ -120,7 +120,12 @@ def main(argv: list[str]) -> int:
     spark = build_session(cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "16")))
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # driver fixtures are single files; the .fixtures scale-ups
+        # (sf1) are Spark-written DIRECTORIES of part files — DuckDB
+        # needs the glob spelling for those
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     failures = []
     for name in names:
