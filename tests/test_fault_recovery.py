@@ -35,6 +35,8 @@ def test_reliable_checkpoint_survives_executor_kill(tmp_path):
             os.path.join(REPO, "tools", "chaos_kill.py"),
             "--mode",
             "reliable",
+            "--kills",
+            "2",  # lose BOTH original executors: no pre-kill block survives
             "--out",
             str(out),
             "dedup_cluster_components",

@@ -681,12 +681,19 @@ def test_tws_crash_restart_kill9(spark, tmp_path):
     # re-read; the uncommitted tail (anything after the last commit at
     # kill time) replays — at-least-once within the idempotent sink
     total = sum(sizes.values())
+    # k committed batches = SOME k of the phase-1 slices (batch→file
+    # order follows mtime which ties across the copies, so which slice
+    # went first is not pinned); everything else replays in phase 2
+    from itertools import combinations
+
+    phase1 = [sizes[i] for i in range(1, STATEFUL_N_BATCHES)]
     valid = {
-        total - sum(sizes[i] for i in range(1, k + 1))
+        total - sum(combo)
         for k in range(lp["commits_at_kill"], lp["commits_after_kill"] + 1)
+        for combo in combinations(phase1, k)
     }
     assert lp["phase2_rows"] in valid, (lp, sizes, valid)
-    assert lp["phase2_rows"] < total, lp  # slice 1's commit survived
+    assert lp["phase2_rows"] < total, lp  # the pre-kill commit survived
     want = {
         r["user_id"]: (r["n"], r["s"])
         for r in load_table(spark, SMOKE_SF, "events")

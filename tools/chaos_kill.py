@@ -75,8 +75,13 @@ def _pid_alive(pid: int) -> bool:
         return True
 
 
-def chaos_run(spark, qfn, sf_dir: str, app_id: str) -> dict:
-    """Run ``qfn`` while killing one executor mid-flight."""
+def chaos_run(spark, qfn, sf_dir: str, app_id: str, baseline_s: float, kills: int = 1) -> dict:
+    """Run ``qfn`` while killing one executor MID-ITERATION: the kill
+    fires once ≥3 Spark jobs of this run have been submitted (the
+    iterative ops run one-plus jobs per round, so by then lineage-cut
+    blocks exist on the executors — killing at first-job start would
+    only test loss of an executor with nothing on it), or at 50 % of
+    the baseline wall time, whichever comes first."""
     sc = spark.sparkContext
     result: dict = {}
     err: list[str] = []
@@ -94,21 +99,39 @@ def chaos_run(spark, qfn, sf_dir: str, app_id: str) -> dict:
     jobs_before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
     t = threading.Thread(target=_work, daemon=True)
     t.start()
-    # wait until the query has really started running jobs, then kill
-    victim = None
+    t_start = time.monotonic()
+    victims: list[int] = []
     killed_mid_run = False
-    deadline = time.monotonic() + 120
+    jobs_at_kill = 0
+    deadline = t_start + 120
+    initial_pids = _executor_pids(app_id)
     while time.monotonic() < deadline and not done.is_set():
         jobs_now = len(sc.statusTracker().getJobIdsForGroup(None) or [])
-        if jobs_now > jobs_before:
+        elapsed = time.monotonic() - t_start
+        if jobs_now >= jobs_before + 3 or (
+            jobs_now > jobs_before and elapsed >= 0.5 * baseline_s
+        ):
             pids = _executor_pids(app_id)
             if pids:
-                victim = pids[0]
-                os.kill(victim, signal.SIGKILL)
+                victims.append(pids[0])
+                os.kill(pids[0], signal.SIGKILL)
                 killed_mid_run = not done.is_set()
+                jobs_at_kill = jobs_now - jobs_before
                 break
-        time.sleep(0.05)
+        time.sleep(0.02)
+    if kills > 1 and victims:
+        # kill every REMAINING original executor too (one 2 s later):
+        # after this, no block stored before the first kill survives
+        # anywhere — the strongest storage-loss case 2 workers can show
+        for pid in initial_pids:
+            if pid in victims or done.is_set():
+                continue
+            time.sleep(2.0)
+            if _pid_alive(pid) and not done.is_set():
+                victims.append(pid)
+                os.kill(pid, signal.SIGKILL)
     t.join(timeout=300)
+    victim = victims[0] if victims else None
     # wait for the standalone worker to relaunch a replacement executor
     replacement = False
     for _ in range(100):
@@ -119,6 +142,8 @@ def chaos_run(spark, qfn, sf_dir: str, app_id: str) -> dict:
         time.sleep(0.2)
     return {
         "victim_pid": victim,
+        "victims": victims,
+        "jobs_at_kill": jobs_at_kill,
         "victim_killed": victim is not None and not _pid_alive(victim),
         "killed_mid_run": killed_mid_run,
         "replacement_executor": replacement,
@@ -131,6 +156,7 @@ def chaos_run(spark, qfn, sf_dir: str, app_id: str) -> dict:
 def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["reliable", "local"], default="reliable")
+    ap.add_argument("--kills", type=int, default=1)
     ap.add_argument("--out")
     ap.add_argument("queries", nargs="*", default=None)
     args = ap.parse_args(argv)
@@ -163,9 +189,12 @@ def main(argv: list[str]) -> int:
     ok = True
     for name in names:
         qfn = qs[name]
+        t0 = time.monotonic()
         baseline = _canonical_hash(qfn(spark, SF_DIR))
-        rec = chaos_run(spark, qfn, SF_DIR, app_id)
+        baseline_s = time.monotonic() - t0
+        rec = chaos_run(spark, qfn, SF_DIR, app_id, baseline_s, kills=args.kills)
         rec["baseline_hash"] = baseline
+        rec["baseline_s"] = round(baseline_s, 2)
         rec["hash_match"] = rec.get("hash") == baseline
         report["results"][name] = rec
         passed = rec["hash_match"] and rec["victim_killed"] and rec["killed_mid_run"]
