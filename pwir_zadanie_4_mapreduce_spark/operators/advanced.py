@@ -270,7 +270,8 @@ def join_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Da
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           ROUND(SUM(o_totalprice), 4) AS total,
+           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 4) AS total,
            COUNT(*) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -279,19 +280,26 @@ def join_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Da
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube): per-status,
-    per-priority, and grand-total in one pass.
+    per-priority, and grand-total in one pass. Fixed-point cents sums
+    on both engines — the grand-total cell reaches ~3.75e11 at sf1,
+    where a double sum's fold order flips the 4th decimal (caught by
+    the r10 sf1 sweep).
 
     100 TB note: one scan expands to the three groupings map-side
     (Expand operator) — 3× shuffle rows but 1× input read, always
     cheaper than three separate jobs over the fact table."""
     orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
     return (
         orders.groupingSets(
             [["o_orderstatus"], ["o_orderpriority"], []],
             "o_orderstatus",
             "o_orderpriority",
         )
-        .agg(_r4(F.sum("o_totalprice")).alias("total"), F.count("*").alias("n"))
+        .agg(
+            _r4(F.sum(cents).cast("double") / 100.0).alias("total"),
+            F.count("*").alias("n"),
+        )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_last(),
             F.col("o_orderpriority").asc_nulls_last(),
@@ -786,8 +794,10 @@ def scalar_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
       SELECT o_orderpriority,
-             ROUND(SUM(o_totalprice), 4) AS total_price,
-             ROUND(AVG(o_totalprice), 4) AS avg_price,
+             ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0, 4) AS total_price,
+             ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_price,
              ROUND(MAX(o_totalprice), 4) AS max_price
       FROM orders GROUP BY o_orderpriority)
     SELECT o_orderpriority, metric, value
@@ -799,11 +809,15 @@ def scalar_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide → long): per-priority price metrics melted to
     (priority, metric, value) rows — the inverse of pivot_event_counts.
-    Expand-based: no shuffle beyond the upstream aggregation."""
+    Expand-based: no shuffle beyond the upstream aggregation. Sums in
+    fixed-point cents on both engines (per-priority ~7.5e10 at sf1 —
+    the double-sum fold-order flake class, caught by the r10 sf1
+    sweep)."""
     orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
     wide = orders.groupBy("o_orderpriority").agg(
-        _r4(F.sum("o_totalprice")).alias("total_price"),
-        _r4(F.avg("o_totalprice")).alias("avg_price"),
+        _r4(F.sum(cents).cast("double") / 100.0).alias("total_price"),
+        _r4(F.sum(cents).cast("double") / 100.0 / F.count("*")).alias("avg_price"),
         _r4(F.max("o_totalprice")).alias("max_price"),
     )
     return wide.unpivot(

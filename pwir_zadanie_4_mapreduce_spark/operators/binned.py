@@ -152,18 +152,20 @@ def agg_equidepth_histogram_binned(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "stats_gini_revenue_binned",
     oracle=f"""
-    WITH spend AS (SELECT o_custkey, SUM(o_totalprice) AS s FROM orders
-                   GROUP BY o_custkey),
+    WITH spend AS (SELECT o_custkey, SUM(o_totalprice) AS s,
+                          CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS sc
+                   FROM orders GROUP BY o_custkey),
     ext AS (SELECT MIN(s) AS lo_v, MAX(s) AS hi_v FROM spend),
-    b AS (SELECT {_bin_sql('s', 'lo_v', 'hi_v')} AS bin, s
+    b AS (SELECT {_bin_sql('s', 'lo_v', 'hi_v')} AS bin, s, sc
           FROM spend CROSS JOIN ext),
-    fine AS (SELECT bin, COUNT(*) AS n_b, SUM(s) AS s_b FROM b GROUP BY bin),
-    tot AS (SELECT SUM(n_b) AS n, SUM(s_b) AS ts FROM fine),
+    fine AS (SELECT bin, COUNT(*) AS n_b, SUM(s) AS s_b, SUM(sc) AS sc_b
+             FROM b GROUP BY bin),
+    tot AS (SELECT SUM(n_b) AS n, SUM(s_b) AS ts, SUM(sc_b) AS tsc FROM fine),
     sad AS (SELECT SUM(a.n_b * f.n_b * abs(a.s_b / a.n_b - f.s_b / f.n_b))
                 AS sad
             FROM fine a CROSS JOIN fine f)
     SELECT CAST(tot.n AS BIGINT) AS n_customers,
-           ROUND(tot.ts, 4) AS total_revenue,
+           ROUND(CAST(tot.tsc AS DOUBLE) / 100.0, 4) AS total_revenue,
            ROUND(sad.sad / (2.0 * tot.n * tot.ts), 4) AS gini
     FROM sad CROSS JOIN tot
     """,
@@ -173,19 +175,28 @@ def stats_gini_revenue_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-absolute-difference identity G = ΣΣ nₐn_f·|μₐ−μ_f| / (2n·Σs)
     (members of a bin share the bin mean). The all-pairs term is over
     bins (≤ FINE_BINS² = 65k rows, broadcast) — no rank window, no
-    global sort; the customer table only ever flows through groupBys."""
+    global sort; the customer table only ever flows through groupBys.
+    The REPORTED total is an order-independent cents sum of per-
+    customer spends (~3.75e11 at sf1 — the 4th-decimal fold-order
+    class, r10 sf1 sweep); the gini's internal sums stay double (its
+    relative error ~1e-15 is invisible at 4 decimals)."""
+    cents = F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("s"))
+        .agg(F.sum("o_totalprice").alias("s"), cents.alias("sc"))
     )
     ext = spend.agg(F.min("s").alias("lo_v"), F.max("s").alias("hi_v"))
     b = spend.crossJoin(F.broadcast(ext)).select(
-        _bin_col(F.col("s"), F.col("lo_v"), F.col("hi_v")).alias("bin"), "s"
+        _bin_col(F.col("s"), F.col("lo_v"), F.col("hi_v")).alias("bin"), "s", "sc"
     )
-    fine = b.groupBy("bin").agg(F.count("*").alias("n_b"), F.sum("s").alias("s_b"))
+    fine = b.groupBy("bin").agg(
+        F.count("*").alias("n_b"), F.sum("s").alias("s_b"), F.sum("sc").alias("sc_b")
+    )
     fine = fine.transform(cut_lineage)
-    tot = fine.agg(F.sum("n_b").alias("n"), F.sum("s_b").alias("ts"))
+    tot = fine.agg(
+        F.sum("n_b").alias("n"), F.sum("s_b").alias("ts"), F.sum("sc_b").alias("tsc")
+    )
     sad = (
         fine.alias("a")
         .crossJoin(F.broadcast(fine.alias("f")))
@@ -201,7 +212,7 @@ def stats_gini_revenue_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sad.crossJoin(F.broadcast(tot)).select(
         F.col("n").alias("n_customers"),
-        _r4(F.col("ts")).alias("total_revenue"),
+        _r4(F.col("tsc").cast("double") / 100.0).alias("total_revenue"),
         _r4(F.col("sad") / (2.0 * F.col("n") * F.col("ts"))).alias("gini"),
     )
 

@@ -44,9 +44,14 @@ def _r4(c: Column) -> Column:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4)                                      AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4)                                 AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)              AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 4)                              AS sum_base_price,
+           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                     * 10000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 10000.0, 4)                            AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                     * 10000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 10000.0, 4)                            AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                      AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                                 AS avg_price,
            ROUND(AVG(l_discount), 4)                                      AS avg_disc,
@@ -61,19 +66,27 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary: filter → project → partial+final hash agg → sort.
 
     Exercises the reference lifecycle (SURVEY.md §3.4): O3 filter,
-    O6 arithmetic map, O8 reduce, O14 ordered sink.
+    O6 arithmetic map, O8 reduce, O14 ordered sink. The three price
+    sums reach ~2.8e10 per group at sf1 — past the double-sum
+    fold-order threshold (r10 sf1 sweep catch) — so both engines sum
+    fixed-point (cents for the raw price, 1e-4 grid for the discount/
+    tax products); quantities are integral and the avgs divide by
+    group size, so those stay plain.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    base_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+    disc_c = F.floor(disc_price * 10000 + F.lit(0.5))
+    charge_c = F.floor(charge * 10000 + F.lit(0.5))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _r4(F.sum("l_quantity")).alias("sum_qty"),
-            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r4(F.sum(disc_price)).alias("sum_disc_price"),
-            _r4(F.sum(charge)).alias("sum_charge"),
+            _r4(F.sum(base_c).cast("double") / 100.0).alias("sum_base_price"),
+            _r4(F.sum(disc_c).cast("double") / 10000.0).alias("sum_disc_price"),
+            _r4(F.sum(charge_c).cast("double") / 10000.0).alias("sum_charge"),
             _r4(F.avg("l_quantity")).alias("avg_qty"),
             _r4(F.avg("l_extendedprice")).alias("avg_price"),
             _r4(F.avg("l_discount")).alias("avg_disc"),
@@ -420,17 +433,25 @@ def agg_rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 4) AS total
+           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 4) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def agg_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping-set combinations."""
+    """CUBE: all grouping-set combinations. The grand-total cell sums
+    ~3.75e11 at sf1 — past the magnitude where a double sum's fold
+    order flips the 4th decimal (caught by the r10 sf1 sweep) — so
+    both engines sum fixed-point cents."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
     return (
         load_table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), _r4(F.sum("o_totalprice")).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            _r4(F.sum(cents).cast("double") / 100.0).alias("total"),
+        )
     )
 
 

@@ -331,7 +331,8 @@ TIME_SPLIT_CUTOFF = "2001-01-01"
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_date,
            CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_date,
-           ROUND(SUM(o_totalprice), 4) AS sum_price
+           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 4) AS sum_price
     FROM orders GROUP BY split ORDER BY split
     """,
 )
@@ -356,7 +357,14 @@ def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.min("o_orderdate").alias("first_date"),
             F.max("o_orderdate").alias("last_date"),
-            dround(F.sum("o_totalprice"), 4).alias("sum_price"),
+            # cents sum: the train side reaches ~3.4e11 at sf1, where a
+            # double sum's fold order flips the 4th decimal (r10 sweep)
+            dround(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+                .cast("double")
+                / 100.0,
+                4,
+            ).alias("sum_price"),
         )
         .orderBy("split")
     )

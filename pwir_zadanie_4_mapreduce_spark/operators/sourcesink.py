@@ -34,7 +34,8 @@ _SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_roundtrips")
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 4) AS sum_price,
+           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 4) AS sum_price,
            CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -66,7 +67,16 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            dround(F.sum("o_totalprice"), 4).alias("sum_price"),
+            # cents sum (r10 sf1 sweep: ~7.5e10 per priority flips the
+            # 4th decimal on fold order) — value-exactness of the text
+            # round-trip is still fully proven: FLOOR of the re-parsed
+            # double only matches the oracle if every value survived
+            dround(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+                .cast("double")
+                / 100.0,
+                4,
+            ).alias("sum_price"),
             F.min("o_orderdate").alias("first_order"),
         )
         .orderBy("o_orderpriority")
@@ -119,7 +129,8 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(l_extendedprice), 4) AS sum_price,
+           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0, 4) AS sum_price,
            ROUND(SUM(l_quantity), 4) AS sum_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -145,7 +156,13 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            dround(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            # cents sum (r10 sf1 sweep: ~1e11 per flag — fold-order class)
+            dround(
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+                .cast("double")
+                / 100.0,
+                4,
+            ).alias("sum_price"),
             dround(F.sum("l_quantity"), 4).alias("sum_qty"),
         )
         .orderBy("l_returnflag")

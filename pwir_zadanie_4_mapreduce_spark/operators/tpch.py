@@ -385,15 +385,16 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                        AS BIGINT)) AS rev_fp
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
         GROUP BY l_suppkey)
     SELECT s.s_suppkey, s.s_name,
-           ROUND(r.total_revenue, 4) AS total_revenue
+           ROUND(CAST(r.rev_fp AS DOUBLE) / 10000.0, 4) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    WHERE r.rev_fp = (SELECT MAX(rev_fp) FROM revenue)
     ORDER BY s.s_suppkey
     """,
 )
@@ -404,23 +405,29 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: revenue is aggregated once (one shuffle by suppkey, at
     most |suppliers| rows out); the MAX is over that small result.
-    Exact float equality is safe here because both sides come from
-    the SAME aggregated values, unrounded."""
+    Revenue is a fixed-point (1e-4-grid int64) sum: equality-to-max
+    over a DOUBLE sum is knife-edge — at sf1 the scaled fixtures
+    contain genuinely tied suppliers, and each engine's fold order
+    broke the ties differently (Spark kept 8 rows, DuckDB 6 — r10 sf1
+    sweep); integer sums make the tie set identical by construction."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev_fp = F.floor(_revenue() * 10000 + F.lit(0.5)).cast("long")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_revenue()).alias("total_revenue")
+        F.sum(rev_fp).alias("rev_fp")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    max_rev = revenue.agg(F.max("rev_fp").alias("max_fp"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(F.broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .filter(F.col("rev_fp") == F.col("max_fp"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
-            "s_suppkey", "s_name", _r4(F.col("total_revenue")).alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            _r4(F.col("rev_fp").cast("double") / 10000.0).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
