@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_dfcap",
     "dedup_minhash_lsh",
+    "dedup_embedding_rp_lsh",
     "dedup_cluster_components",
     "pipeline_corpus_prep",
     "sim_topk_bruteforce",

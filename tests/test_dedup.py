@@ -137,6 +137,29 @@ def test_embedding_cosine_threshold(spark):
     assert all(r["vec_a"] < r["vec_b"] for r in rows)
 
 
+def test_embedding_rp_lsh_subset_and_pinned_recall(spark):
+    """The banded RP-LSH dedup is verified-exact (precision 1.0 by
+    construction: the verify join recomputes true cosine), and its
+    banding recall on the frozen fixture is DETERMINISTIC — pin it, so
+    a future change to planes/bands/threshold that silently drops
+    pairs fails here before the driver's hash compare moves. τ=0.4 is
+    the fixture's forced regime (max pairwise cosine 0.51) and the
+    hyperplane-agreement probability at τ=0.4 is only ~0.63, so 4-bit
+    bands collide on just 0.63⁴≈16 % per band — recall 35/66 here and
+    40/59 at sf0.01 is the EXPECTED value of the b×r trade at this τ,
+    not a defect; at a production near-dup τ≈0.9 the same config
+    yields ≈0.95 (see the operator docstring)."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.dedup_embedding_cosine(spark, SMOKE_SF).collect()
+    }
+    lsh_rows = dedup.dedup_embedding_rp_lsh(spark, SMOKE_SF).collect()
+    lsh = {(r["vec_a"], r["vec_b"]) for r in lsh_rows}
+    assert lsh <= exact, sorted(lsh - exact)
+    assert all(r["cosine"] >= dedup.COSINE_DUP_THRESHOLD - 1e-4 for r in lsh_rows)
+    assert (len(lsh), len(exact)) == (35, 66), (len(lsh), len(exact))
+
+
 def test_leakage_safe_split_partitions_and_never_leaks(spark):
     rows = dedup.pipeline_leakage_safe_split(spark, SMOKE_SF).collect()
     splits = {r["split"]: r for r in rows}
