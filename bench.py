@@ -53,6 +53,9 @@ HEADLINE = [
     "dedup_ngram_jaccard_dfcap",
     "dedup_minhash_lsh",
     "dedup_embedding_rp_lsh",
+    "dedup_repeated_spans",
+    "dedup_semantic_centroid",
+    "quality_gopher_rules",
     "dedup_cluster_components",
     "pipeline_corpus_prep",
     "sim_topk_bruteforce",

@@ -1506,3 +1506,173 @@ def quality_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_in_leaky"
         ),
     )
+
+
+SPAN_TOKENS = 8  # non-overlapping span width for corpus-frequency dedup
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    raw AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(toks) / {SPAN_TOKENS}.0) AS INT)),
+                   i -> array_to_string(
+                       toks[i * {SPAN_TOKENS} + 1 : i * {SPAN_TOKENS} + {SPAN_TOKENS}],
+                       ' '))) AS span
+        FROM t),
+    s AS (SELECT doc_id, md5(span) AS h FROM raw),
+    f AS (SELECT h, COUNT(*) AS c FROM s GROUP BY h)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE f.c >= 2) AS BIGINT) AS n_dup_spans,
+           ROUND(COUNT(*) FILTER (WHERE f.c >= 2) * 1.0 / COUNT(*), 4)
+               AS dup_span_ratio
+    FROM s JOIN f USING (h)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency span dedup (the C4 "repeated lines" rule of
+    Raffel et al. 2019, restated over fixed token spans because the
+    fixture text has no line structure): each doc is cut into
+    NON-overlapping 8-token spans, span frequency is counted across
+    the WHOLE corpus, and every doc reports how much of it is
+    boilerplate that other docs (or itself) also contain — the signal
+    C4 uses to strip headers/footers/templates before training.
+
+    Plan: one scan builds the span digests in the projection
+    (sequence + slice + md5, all codegen); ONE groupBy on the 32-char
+    digest counts corpus frequency — the span STRINGS never shuffle,
+    only their md5 keys (at 100 TB spans are long; shipping digests is
+    the difference between a bounded-width shuffle and a text
+    shuffle); the frequency join back is digest-keyed and the per-doc
+    rollup is a count/count_if agg. DuckDB mirrors digesting, so the
+    frequency table and the per-doc ratios hash-match exactly.
+
+    Generalizes O8 (reduce over a derived key space) the same way the
+    shingle dedups do; the span cut is the 1-D analog of O11's block
+    partitioning applied to token positions."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    n_spans = F.ceil(F.size(toks) / float(SPAN_TOKENS)).cast("int")
+    span_digests = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS), " ")
+        ),
+    )
+    sp = docs.select("doc_id", F.explode(span_digests).alias("h"))
+    freq = sp.groupBy("h").agg(F.count("*").alias("c"))
+    dup = F.count(F.when(F.col("c") >= 2, 1))
+    return (
+        sp.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.alias("n_dup_spans"),
+            dround(dup * 1.0 / F.count("*"), 4).alias("dup_span_ratio"),
+        )
+    )
+
+
+SEMANTIC_DUP_THRESHOLD = 0.35  # fixture cosines top out near 0.51
+SEMDEDUP_K = 16  # coarse clusters; scales with corpus size at 100 TB
+
+_SEM_COS_AB = (
+    "list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))"
+    " / (a.nrm * b.nrm)"
+)
+
+
+@register(
+    "dedup_semantic_centroid",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+             FROM e ORDER BY vec_id LIMIT {SEMDEDUP_K}),
+    assigned AS (
+        SELECT e.vec_id, e.v, e.nrm, c.centroid_id
+        FROM e CROSS JOIN cent c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(list_zip(e.v, c.cv),
+                         z -> z[1] * z[2])) / (e.nrm * c.cn) DESC,
+                     c.centroid_id) = 1),
+    pairs AS (
+        SELECT b.vec_id, b.centroid_id, a.vec_id AS dup_of,
+               {_SEM_COS_AB} AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {_SEM_COS_AB} >= {SEMANTIC_DUP_THRESHOLD})
+    SELECT vec_id, centroid_id, MIN(dup_of) AS dup_of,
+           ROUND(arg_min(cosine, dup_of), 4) AS dup_cosine
+    FROM pairs GROUP BY vec_id, centroid_id
+    """,
+)
+def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    that never forms the all-pairs cosine join — vectors are routed to
+    coarse k-means-style clusters first, and near-duplicate pairs are
+    searched WITHIN clusters only. A vector is dropped iff a lower-id
+    vector in ITS cluster has cosine >= threshold (deterministic
+    survivor rule, same min-id convention as dedup_exact); output is
+    the dropped set with its witness (lowest qualifying dup_of) and
+    that witness's cosine.
+
+    Plan: the k=16 seed codebook (lowest vec_ids, the sim_topk_ivf
+    convention) is a bounded k x dim collect that rides the plan as
+    literals — assignment is _assign_book_lit's ZERO-exchange narrow
+    projection; the pair join keys on centroid_id so candidate volume
+    is sum over clusters of n_c^2/2, not n^2/2 (the SemDeDup point:
+    with k grown ~sqrt(n) at 100 TB the expected pair count is ~n^1.5,
+    and each cluster's pairs co-locate in one shuffle partition).
+    Full-mirror oracle: seed codebook, argmax assignment (QUALIFY
+    tie-break on centroid_id), in-cluster pair scan, and the min-id
+    witness agg are re-run verbatim in DuckDB on the same fold-ordered
+    double sums, so the dropped set hash-matches bit-for-bit."""
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import (
+        _assign_book_lit,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    book = {
+        r["centroid_id"]: list(r["cv"])
+        for r in e.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+        .collect()
+    }
+    assigned = _assign_book_lit(e, book).transform(cut_lineage)
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("dup_of"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        "vec_id",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .select("vec_id", "centroid_id", "dup_of", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+    )
+    return pairs.groupBy("vec_id", "centroid_id").agg(
+        F.min("dup_of").alias("dup_of"),
+        dround(F.min_by("cosine", "dup_of"), 4).alias("dup_cosine"),
+    )

@@ -1122,3 +1122,101 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("weight"))
         .orderBy("doc_id", "dim")
     )
+
+
+_GOPHER_PASS = (
+    "n_tok BETWEEN 20 AND 80 AND stop_frac >= 0.03 "
+    "AND distinct_ratio >= 0.4 AND max_tok_ratio <= 0.15"
+)
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+    d AS (SELECT source,
+            len(toks) AS n_tok,
+            len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0
+                / len(toks) AS stop_frac,
+            len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+            list_max(list_transform(list_distinct(toks),
+                u -> len(list_filter(toks, x -> x = u)))) * 1.0
+                / len(toks) AS max_tok_ratio
+          FROM t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE n_tok BETWEEN 20 AND 80) AS BIGINT)
+               AS pass_len,
+           CAST(COUNT(*) FILTER (WHERE stop_frac >= 0.03) AS BIGINT)
+               AS pass_stopword,
+           CAST(COUNT(*) FILTER (WHERE distinct_ratio >= 0.4) AS BIGINT)
+               AS pass_distinct,
+           CAST(COUNT(*) FILTER (WHERE max_tok_ratio <= 0.15) AS BIGINT)
+               AS pass_maxtok,
+           CAST(COUNT(*) FILTER (WHERE {_GOPHER_PASS}) AS BIGINT) AS pass_all,
+           ROUND(COUNT(*) FILTER (WHERE {_GOPHER_PASS}) * 1.0 / COUNT(*), 4)
+               AS keep_rate
+    FROM d GROUP BY source
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule funnel (Rae et al. 2021, §A1.1.1:
+    word-count band, stopword presence, repetition caps), reported
+    per source as a rule-by-rule pass breakdown plus the all-rules
+    keep rate — the go/no-go dashboard a data pipeline reads before
+    committing a crawl snapshot to the training mix. Thresholds are
+    scaled to the fixture corpus (20-80 tokens, stopword fraction
+    >= 3%, distinct-token ratio >= 0.4, no token > 15% of the doc) so
+    every rule discriminates rather than passing trivially.
+
+    Plan: like quality_expectations, N rules cost ONE scan — every
+    per-doc statistic (including the max-token-frequency repetition
+    rule, an O(distinct x tokens) in-row lambda, doc-bounded) is a
+    codegen projection, and all eight output columns come from a
+    single conditional-count hash agg on source. Nothing shuffles but
+    the (source, partial-counts) rows. DuckDB re-derives the same
+    per-doc stats with list_* lambdas and FILTER clauses — exact
+    integer counts, so the only rounding is the final keep_rate.
+
+    Complements text_quality_score (per-doc score, no verdicts) and
+    quality_expectations (orders-table column rules): this is the
+    text-corpus admission gate."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_frac = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) * 1.0 / n_tok
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) * 1.0 / n_tok
+    max_tok_ratio = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda u: F.size(F.filter(toks, lambda x: x == u)),
+            )
+        )
+        * 1.0
+        / n_tok
+    )
+    d = docs.select(
+        "source",
+        n_tok.alias("n_tok"),
+        stop_frac.alias("stop_frac"),
+        distinct_ratio.alias("distinct_ratio"),
+        max_tok_ratio.alias("max_tok_ratio"),
+    )
+    r_len = F.col("n_tok").between(20, 80)
+    r_stop = F.col("stop_frac") >= 0.03
+    r_dist = F.col("distinct_ratio") >= 0.4
+    r_max = F.col("max_tok_ratio") <= 0.15
+    r_all = r_len & r_stop & r_dist & r_max
+    cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        cnt(r_len).alias("pass_len"),
+        cnt(r_stop).alias("pass_stopword"),
+        cnt(r_dist).alias("pass_distinct"),
+        cnt(r_max).alias("pass_maxtok"),
+        cnt(r_all).alias("pass_all"),
+        dround(cnt(r_all) * 1.0 / F.count("*"), 4).alias("keep_rate"),
+    )
