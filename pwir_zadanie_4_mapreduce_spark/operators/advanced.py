@@ -394,7 +394,9 @@ def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_api_revenue_by_nation",
     oracle="""
     SELECT n.n_name AS n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                     * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 4) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey  = c.c_custkey
@@ -405,14 +407,21 @@ def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's SQL entry point (SURVEY.md §7.6: no parser of our
     own — spark.sql over registered views IS the SQL API). Identical
-    text runs on both engines; Catalyst still broadcasts the dims."""
+    text runs on both engines; Catalyst still broadcasts the dims.
+
+    Revenue is the fixed-point cents sum (int64, order-independent):
+    the plain double SUM flipped in the 4th decimal at sf1 (~1.2e10
+    totals, NATION_0/NATION_8 — the r10 sf1 sweep's flake class),
+    exactly like join_salted_order_revenue before its r9 fix."""
     from pwir_zadanie_4_mapreduce_spark.catalog import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT /*+ BROADCAST(c, n) */ n.n_name AS n_name,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS raw_revenue
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                   * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 10000.0 AS raw_revenue
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey  = c.c_custkey
