@@ -101,22 +101,44 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH t AS (
+# Count-based shingle-pair prologue shared by every exact-Jaccard /
+# containment oracle: intersections come from a posting self-join
+# co-count (the inverted-index shape the Spark plans use), never
+# list_intersect over an all-pairs doc join. Semantically identical —
+# same integer (inter, n_a, n_b) per pair, therefore bit-identical
+# doubles — validated old-vs-new equal at sf0.01/sf0.1. The all-pairs
+# spelling made the composed recursive-CTE oracles cost ~950 s at
+# sf0.1 and unrunnable at sf1; this one is O(sum_s C(df_s, 2)) like
+# the engine plan (12.6M co-rows at sf1, seconds in DuckDB), which is
+# what let the r10 sf1 sweep cover the components family at all.
+_SHINGLE_CO_SQL = f"""
+    t AS (
         SELECT doc_id,
                list_distinct(list_transform(
                    range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
                    i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WORDS - 1}], ' '))) AS sh
-        FROM documents)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-    FROM t a JOIN t b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
-    """,
+        FROM documents),
+    p AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    sz AS (SELECT doc_id, len(sh) AS n FROM t),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)"""
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH {_SHINGLE_CO_SQL}
+    SELECT doc_a, doc_b,
+           ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM co JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_PAIRS_SQL,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-word shingle) Jaccard near-dup pairs.
@@ -338,21 +360,7 @@ def minhash_signature_agg(posting: DataFrame, perms: int = MINHASH_PERMS) -> Dat
 
 @register(
     "dedup_minhash_lsh",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
-                   i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WORDS - 1}], ' '))) AS sh
-        FROM documents)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-    FROM t a JOIN t b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
-    ORDER BY doc_a, doc_b
-    """,
+    oracle=_JACCARD_PAIRS_SQL + " ORDER BY doc_a, doc_b",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-Jaccard verified.
@@ -1274,18 +1282,12 @@ CONTAINMENT_THRESHOLD = 0.9
 @register(
     "dedup_containment",
     oracle=f"""
-    WITH t AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
-                   i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WORDS - 1}], ' '))) AS sh
-        FROM documents)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / least(len(a.sh), len(b.sh)), 4) AS containment
-    FROM t a JOIN t b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / least(len(a.sh), len(b.sh)) >= {CONTAINMENT_THRESHOLD}
+    WITH {_SHINGLE_CO_SQL}
+    SELECT doc_a, doc_b,
+           ROUND(inter::DOUBLE / least(sa.n, sb.n), 4) AS containment
+    FROM co JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter::DOUBLE / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
