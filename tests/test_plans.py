@@ -556,3 +556,49 @@ def test_collated_grouping_single_exchange(spark):
 
     plan = explain_str(scalar_collated_grouping(spark, SMOKE_SF))
     assert plan.count("Arguments: hashpartitioning") <= 1, plan[:2000]
+
+
+def test_repeated_spans_joins_on_digest_and_prunes(spark):
+    """dedup_repeated_spans: span STRINGS never shuffle — the
+    frequency join keys on the md5 digest, and both corpus scans are
+    column-pruned to what the span cut needs."""
+    from pwir_zadanie_4_mapreduce_spark.operators.dedup import (
+        dedup_repeated_spans,
+    )
+
+    df = dedup_repeated_spans(spark, SMOKE_SF)
+    scans = read_schema_columns(df)
+    assert scans and all(set(c) <= {"doc_id", "text"} for c in scans), scans
+    plan = explain_str(df)
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line  # digests shuffle, not text
+
+
+def test_semantic_centroid_assignment_is_exchange_free(spark):
+    """dedup_semantic_centroid: the codebook rides the plan as
+    literals, so centroid assignment adds NO exchange — the only
+    shuffles are the in-cluster pair join and the witness agg (plus
+    AQE reuse), never a Window over the corpus."""
+    from pwir_zadanie_4_mapreduce_spark.operators.dedup import (
+        dedup_semantic_centroid,
+    )
+
+    plan = explain_str(dedup_semantic_centroid(spark, SMOKE_SF))
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("Arguments: hashpartitioning") <= 3, plan[:2000]
+
+
+def test_gopher_rules_single_scan_single_agg(spark):
+    """quality_gopher_rules: N rules = ONE corpus scan + one hash agg
+    on source (plan width, not pass count) — the quality_expectations
+    property restated for the text gate."""
+    import re
+
+    from pwir_zadanie_4_mapreduce_spark.operators.text import (
+        quality_gopher_rules,
+    )
+
+    plan = explain_str(quality_gopher_rules(spark, SMOKE_SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert plan.count("Arguments: hashpartitioning") <= 1, plan[:2000]
