@@ -13,6 +13,7 @@ result as a DataFrame — used by tests to diff streaming vs batch.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1216,3 +1217,59 @@ def run_python_stream_source(spark: SparkSession, rows_per_batch: int = 128, tot
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+def run_state_source_inspect(spark: SparkSession, sf_dir: str, out_dir: str):
+    """Offline state-store introspection via the Spark 4 STATE DATA
+    SOURCE: run the per-user totals aggregation over the 3-slice event
+    stream with a durable RocksDB checkpoint, stop the query, then
+    read the operator's FINAL state back as a DataFrame with
+    spark.read.format("statestore") — no replay, no sink readback.
+    This is the ops surface a production streaming platform needs the
+    day state goes wrong (key skew audits, state-size heatmaps,
+    stuck-key forensics) and the offline path for state migrations;
+    before this source existed the only way to see inside a checkpoint
+    was to restart the job and add a sink.
+
+    Returns (per_user_totals_from_state, state_metadata): the first is
+    (user_id, n_events, total_value) decoded from the agg buffer's
+    key/value structs, which the test asserts EQUALS the batch
+    groupBy — proving the checkpoint bytes, not the sink, carry the
+    answer; the second is the state-metadata listing (operator name,
+    store name, partition count, batch range) the test pins.
+
+    100 TB: the state source reads store files directly (one split per
+    state partition), so an audit scans state-sized data — never the
+    event history that built it."""
+    _use_rocksdb(spark)
+    ev = _events_stream_split(spark, sf_dir, STATEFUL_N_BATCHES).select(
+        "user_id", "value"
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    ck = os.path.join(out_dir, "ck")
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        lp = q.lastProgress
+        LAST_PROGRESS.clear()
+        if lp is not None:
+            LAST_PROGRESS["batch_id"] = lp["batchId"]
+    finally:
+        q.stop()
+    state = spark.read.format("statestore").load(ck)
+    totals = state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        dround(F.col("value.sum"), 4).alias("total_value"),
+    )
+    meta = spark.read.format("state-metadata").load(ck)
+    return totals, meta

@@ -721,3 +721,35 @@ def test_python_stream_source_equals_closed_form(spark):
         n, s = want.get(r, (0, 0.0))
         want[r] = (n + 1, s + ((t * 31) % 97) / 10.0)
     assert got == {r: (n, round(s, 4)) for r, (n, s) in want.items()}
+
+
+def test_state_source_inspect_matches_batch(spark, tmp_path):
+    """Spark 4 state data source: the per-user totals decoded from the
+    CHECKPOINT's RocksDB state (no sink, no replay) must equal the
+    batch aggregate, and the state-metadata listing must name the agg
+    operator with the full batch range."""
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+    from pwir_zadanie_4_mapreduce_spark.functions.rounding import dround
+    from pwir_zadanie_4_mapreduce_spark.streaming import (
+        run_state_source_inspect,
+    )
+    from pwir_zadanie_4_mapreduce_spark.streaming import jobs
+    from pyspark.sql import functions as F
+
+    totals, meta = run_state_source_inspect(spark, SMOKE_SF, str(tmp_path))
+    batch = (
+        load_table(spark, SMOKE_SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dround(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(totals, cols) == _rows(batch, cols)
+    _assert_multibatch()
+    m = {r["operatorName"]: r for r in meta.collect()}
+    assert "stateStoreSave" in m, m
+    row = m["stateStoreSave"]
+    assert row["minBatchId"] == 0
+    assert row["maxBatchId"] >= jobs.STATEFUL_N_BATCHES - 1
