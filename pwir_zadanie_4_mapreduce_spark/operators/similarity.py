@@ -1430,3 +1430,122 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= SIM_RANGE_TAU)
         .orderBy(F.desc("cosine"), "vec_id")
     )
+
+
+MMR_POOL = 20  # ANN candidate pool the re-ranker consumes
+MMR_K = 5  # final diverse set size
+# λ·relevance − (1−λ)·max-sim-to-selected, written as 0.7/0.3 literals
+# in BOTH engines so the arithmetic text is identical
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled as staged CTEs: p1..p5 each pick the
+    argmax of 0.7*rel - 0.3*max(cos to already-picked), tie-broken by
+    vec_id, from the top-20 candidate pool. Correlated MAX subqueries
+    touch ≤ 4 rows; every cosine is the same fold-ordered double both
+    engines compute, so the picked set and scores hash-match."""
+    rel = _cos_pre("e.v", "e.nrm", "q.qv", "q.qn")
+    parts = [
+        f"""WITH {_E_SQL},
+    q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT e.vec_id, e.v, e.nrm, {rel} AS rel
+        FROM e CROSS JOIN q WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {rel} DESC, e.vec_id LIMIT {MMR_POOL}),
+    p1 AS (SELECT vec_id, v, nrm, rel, 0.7 * rel AS score, 1 AS rank
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""
+    ]
+    for k in range(2, MMR_K + 1):
+        sel = " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, k))
+        pair = _cos_pre("c.v", "c.nrm", "s.v", "s.nrm")
+        parts.append(
+            f"""r{k} AS (
+        SELECT c.vec_id, c.v, c.nrm, c.rel,
+               0.7 * c.rel - 0.3 * (SELECT MAX({pair})
+                                    FROM ({sel}) s) AS score
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM ({sel}) sx)),
+    p{k} AS (SELECT vec_id, v, nrm, rel, score, {k} AS rank
+             FROM r{k} ORDER BY score DESC, vec_id LIMIT 1)"""
+        )
+    picks = " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, MMR_K + 1))
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT rank, vec_id, ROUND(rel, 4) AS relevance,
+           ROUND(score, 4) AS mmr_score
+    FROM ({picks}) ORDER BY rank"""
+    )
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): from the query's top-20 cosine candidates, greedily pick 5
+    maximizing 0.7*relevance - 0.3*max-similarity-to-already-picked —
+    the diversity stage retrieval and training-data selection run
+    AFTER an ANN pass so the final set isn't five near-duplicates
+    (the selection-side complement of dedup_semantic_centroid).
+
+    Plan shape: the candidate pool is one broadcast-query top-k scan
+    (TakeOrderedAndProject, no global sort); each greedy round is one
+    distributed argmax over the pool where the already-picked vectors
+    ride the plan as LITERALS (the _assign_book_lit convention) — at a
+    production pool size (re-rank 1M ANN candidates) every round stays
+    a narrow scan + limit-1, and only k rows ever reach the driver.
+    The returned frame is the union of the 5 one-row pick plans.
+
+    Full-mirror oracle: the staged-CTE unroll re-runs pool selection
+    and every greedy round on the same fold-ordered doubles (literal
+    vectors round-trip exactly via repr), so ranks, ids, and scores
+    all hash-match."""
+    e = _prepped(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    rel = _cosine(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qn"))
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", "nrm", rel.alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_POOL)
+        .transform(cut_lineage)  # the pool feeds every greedy round
+    )
+    picks: list[DataFrame] = []
+    selected: list[tuple[list, float]] = []
+    chosen_ids: list = []
+    for k in range(1, MMR_K + 1):
+        if not selected:
+            score = F.expr("0.7 * rel")
+        else:
+            sims = ", ".join(
+                f"({_sql_fold_dot('v', sv)} / (nrm * {_sql_double(sn)}))"
+                for sv, sn in selected
+            )
+            maxsim = f"greatest({sims})" if len(selected) > 1 else sims
+            score = F.expr(f"0.7 * rel - 0.3 * {maxsim}")
+        pool = cand.filter(~F.col("vec_id").isin(chosen_ids)) if chosen_ids else cand
+        pick_plan = (
+            pool.select(
+                F.lit(k).alias("rank"), "vec_id", "v", "nrm", "rel",
+                score.alias("score"),
+            )
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+        )
+        row = pick_plan.collect()[0]
+        selected.append((list(row["v"]), float(row["nrm"])))
+        chosen_ids.append(row["vec_id"])
+        picks.append(
+            pick_plan.select(
+                "rank",
+                "vec_id",
+                dround("rel", 4).alias("relevance"),
+                dround("score", 4).alias("mmr_score"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rank")
