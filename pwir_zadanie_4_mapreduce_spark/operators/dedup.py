@@ -444,23 +444,23 @@ def _band_keys(sig: DataFrame) -> DataFrame:
 
 @register(
     "dedup_incremental_minhash",
+    # count-based like _JACCARD_PAIRS_SQL (the comma-join over t h, t n
+    # was a hidden history×batch all-pairs — ~4e8 list_intersect calls
+    # at sf1); co already orders doc_a < doc_b, and history ids are all
+    # below the cutoff while batch ids are all at/above it, so
+    # doc_a=hist, doc_b=new loses no pair
     oracle=f"""
-    WITH t AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
-                   i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WORDS - 1}], ' '))) AS sh
-        FROM documents),
+    WITH {_SHINGLE_CO_SQL},
     b AS (SELECT MIN(doc_id) + CAST(FLOOR({INCR_LSH_CUTOFF_FRACTION}
                  * (MAX(doc_id) - MIN(doc_id))) AS BIGINT) AS cutoff
           FROM documents)
-    SELECT h.doc_id AS hist_doc, n.doc_id AS new_doc,
-           ROUND(len(list_intersect(h.sh, n.sh))::DOUBLE
-                 / (len(h.sh) + len(n.sh) - len(list_intersect(h.sh, n.sh))), 4) AS jaccard
-    FROM t h, t n, b
-    WHERE h.doc_id < b.cutoff AND n.doc_id >= b.cutoff
-      AND len(list_intersect(h.sh, n.sh))::DOUBLE
-          / (len(h.sh) + len(n.sh) - len(list_intersect(h.sh, n.sh))) >= {JACCARD_THRESHOLD}
+    SELECT doc_a AS hist_doc, doc_b AS new_doc,
+           ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM co JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            CROSS JOIN b
+    WHERE doc_a < b.cutoff AND doc_b >= b.cutoff
+      AND inter::DOUBLE / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
     ORDER BY new_doc, hist_doc
     """,
 )
