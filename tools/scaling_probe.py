@@ -51,8 +51,11 @@ SF1_DIR = os.path.join(_FIX, "sf1")
 
 def main() -> None:
     with_sf1 = "--sf1" in sys.argv[1:]
+    with_sf10 = "--sf10" in sys.argv[1:]  # 4th decade (factor-100 scaleup)
     names = [a for a in sys.argv[1:] if not a.startswith("--")] or DEFAULT_QUERIES
     sf_dirs = SF_DIRS + ([SF1_DIR] if with_sf1 else [])
+    if with_sf10:
+        sf_dirs.append(os.path.join(_FIX, "sf10"))
     missing = [d for d in sf_dirs if not os.path.isdir(d)]
     if missing:
         sys.exit(f"missing fixture dirs (build with tools/make_fixtures.py): {missing}")
