@@ -547,9 +547,9 @@ def salted_join(
     "join_salted_order_revenue",
     oracle="""
     SELECT o.o_orderpriority,
-           ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
-                                     * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / 10000.0, 4) AS revenue,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
@@ -579,8 +579,13 @@ def join_salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # identical per-row double is the same int64 in every
             # engine, and integer sums are order-independent — the
             # double-sum spelling flipped the 4th decimal at sf0.1
-            # (~6e9 totals, ~1.2e5 addends) purely on summation order
-            _r4(
+            # (~6e9 totals, ~1.2e5 addends) purely on summation order.
+            # NO final ROUND (r10 sf10 catch): these 5 priority groups
+            # reach ~6e11 at sf10, where a double's ULP (~1.3e-4) is
+            # coarser than the 1e-4 grid — x*1e4 sits near 2^53 and
+            # the engines' 4-decimal rounds diverge. The raw quotient
+            # int64/1e4 is bit-identical in both engines at ANY scale.
+            (
                 F.sum(
                     F.floor(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
@@ -602,9 +607,9 @@ _SKEW_HOT_THRESHOLD = 7  # fact rows per key ⇒ "hot" (fixture: top ~1/7 of ord
     "join_skew_aqe_order_revenue",
     oracle="""
     SELECT o.o_orderpriority,
-           ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
-                                     * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / 10000.0, 4) AS revenue,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
@@ -687,8 +692,13 @@ def join_skew_aqe_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # identical per-row double is the same int64 in every
             # engine, and integer sums are order-independent — the
             # double-sum spelling flipped the 4th decimal at sf0.1
-            # (~6e9 totals, ~1.2e5 addends) purely on summation order
-            _r4(
+            # (~6e9 totals, ~1.2e5 addends) purely on summation order.
+            # NO final ROUND (r10 sf10 catch): these 5 priority groups
+            # reach ~6e11 at sf10, where a double's ULP (~1.3e-4) is
+            # coarser than the 1e-4 grid — x*1e4 sits near 2^53 and
+            # the engines' 4-decimal rounds diverge. The raw quotient
+            # int64/1e4 is bit-identical in both engines at ANY scale.
+            (
                 F.sum(
                     F.floor(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
