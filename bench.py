@@ -213,6 +213,12 @@ def _multifile_dir(spark, src_dir: str) -> tuple[str, str]:
         return src_dir, "single-file"
     base = os.path.basename(src_dir.rstrip("/"))
     dst = os.path.join(REPO_ROOT, ".fixtures", "multifile", base)
+    # Guard: benching a dir that IS a materialized fixture (e.g. the
+    # sf1/sf10 scaleups under .fixtures/multifile) must not try to
+    # re-materialize into itself — the stale-marker path would rmtree
+    # the SOURCE before reading it (learned the hard way at r10).
+    if os.path.realpath(dst) == os.path.realpath(src_dir):
+        return src_dir, "multifile-32"
     marker = os.path.join(dst, "_COMPLETE")
     # The marker records a fingerprint of the SOURCE layout (per-file
     # size+mtime) and the files parameter; a cached fixture built from
