@@ -271,11 +271,25 @@ def _testdata_fingerprint(src_dir: str) -> dict[str, str]:
         if not name.endswith(".parquet"):
             continue
         path = os.path.join(src_dir, name)
+        # scaleup fixtures store each table as a DIRECTORY of part
+        # files — hash the sorted parts (an sf1/sf10 bench died here
+        # at r10 after running every query; never again)
+        parts = (
+            sorted(
+                os.path.join(path, p)
+                for p in os.listdir(path)
+                if p.endswith(".parquet")
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
         md5 = hashlib.md5()
-        with open(path, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 20), b""):
-                md5.update(chunk)
-        rows = pq.ParquetFile(path).metadata.num_rows
+        rows = 0
+        for part in parts:
+            with open(part, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    md5.update(chunk)
+            rows += pq.ParquetFile(part).metadata.num_rows
         out[name[: -len(".parquet")]] = f"{rows}:{md5.hexdigest()[:12]}"
     return out
 
