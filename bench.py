@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_dfcap",
     "dedup_minhash_lsh",
     "dedup_embedding_rp_lsh",
+    "dedup_embedding_rp_lsh_wide",
     "dedup_repeated_spans",
     "dedup_semantic_centroid",
     "quality_gopher_rules",

@@ -1678,3 +1678,122 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dup_of").alias("dup_of"),
         dround(F.min_by("cosine", "dup_of"), 4).alias("dup_cosine"),
     )
+
+
+RP_WIDE_PLANES = 64  # production-width signature
+RP_WIDE_BANDS = 8  # 8 bands x 8 bits
+_RP_WIDE_BITS = RP_WIDE_PLANES // RP_WIDE_BANDS
+
+
+def _rp_wide_model() -> list[list[float]]:
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import _hyperplane
+
+    return [_hyperplane(p) for p in range(RP_WIDE_PLANES)]
+
+
+def _rp_wide_band_spark(k: int) -> str:
+    """Spark-SQL expression for band k's 8-bit value (0..255) — per-band
+    integers sidestep the 1<<63 overflow a single 64-bit signature hits."""
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import _sql_fold_dot
+
+    model = _rp_wide_model()
+    return " + ".join(
+        f"IF({_sql_fold_dot('v', model[k * _RP_WIDE_BITS + j])} >= 0, {1 << j}L, 0L)"
+        for j in range(_RP_WIDE_BITS)
+    )
+
+
+def _rp_wide_band_duck(k: int) -> str:
+    model = _rp_wide_model()
+    terms = []
+    for j in range(_RP_WIDE_BITS):
+        lits = ", ".join(repr(h) for h in model[k * _RP_WIDE_BITS + j])
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(v, [{lits}]),"
+            f" z -> z[1] * z[2])) >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _rp_wide_oracle() -> str:
+    bands = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {k} AS k, {_rp_wide_band_duck(k)} AS bv FROM e"
+        for k in range(RP_WIDE_BANDS)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+    bands AS ({bands}),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM bands a JOIN bands b
+               ON a.k = b.k AND a.bv = b.bv AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           ROUND(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))
+                 / (x.nrm * y.nrm), 4) AS cosine
+    FROM cand c JOIN e x ON x.vec_id = c.vec_a
+                JOIN e y ON y.vec_id = c.vec_b
+    WHERE list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))
+          / (x.nrm * y.nrm) >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@register("dedup_embedding_rp_lsh_wide", oracle=_rp_wide_oracle())
+def dedup_embedding_rp_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-width RP-LSH configuration the 16-bit op's
+    docstring promises: 64 sign bits in 8 bands of 8. Candidate volume
+    is the banding trade made executable — a random pair collides in
+    an 8-bit band with p = agreement^8, so random collisions drop from
+    ~23 % of all pairs (16-bit config, measured at sf0.01) to ~3 %,
+    which is exactly what keeps the verify join affordable when the
+    corpus grows 100×: at sf1 the 16-bit op pays 23.5 s of bench time
+    almost entirely in candidate cosines; this config prunes ~an order
+    of magnitude harder. The price is recall at LOW thresholds — at the
+    fixture's hard τ=0.4 regime (bit-agreement 0.63) recall is ~18 %,
+    while at a production near-dup τ≈0.9 (agreement 0.856,
+    p_band=0.286) it is 1-(1-0.286)^8 ≈ 0.93 — bands × bits is the
+    declared tuning surface and this op IS the other end of the trade.
+
+    Plan shape is identical to dedup_embedding_rp_lsh: one fused
+    projection computes all 8 band values (64 literal-vector dots in
+    codegen), the band join ships (k, bv, vec_id) only, the exact
+    verify touches candidates alone. Full-mirror oracle: DuckDB
+    recomputes the same md5-derived hyperplanes, band values, candidate
+    join and verify on fold-ordered doubles — the surviving pair set
+    hash-matches."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    sig = e.select(
+        "vec_id",
+        "v",
+        l2_norm(F.col("v")).alias("nrm"),
+        F.array(
+            *[F.expr(_rp_wide_band_spark(k)) for k in range(RP_WIDE_BANDS)]
+        ).alias("bvs"),
+    ).transform(cut_lineage)
+    bands = sig.select("vec_id", F.posexplode("bvs").alias("k", "bv"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    y = sig.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", dround("cosine", 4).alias("cosine"))
+    )
