@@ -270,8 +270,8 @@ def join_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Da
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 100.0, 4) AS total,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total,
            COUNT(*) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -297,7 +297,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            _r4(F.sum(cents).cast("double") / 100.0).alias("total"),
+            # no final ROUND: raw int64/1e2 quotient (r10 sf10 catch —
+            # 4-decimal ROUND of ~1e11+ totals is beyond double ULP)
+            (F.sum(cents).cast("double") / 100.0).alias("total"),
             F.count("*").alias("n"),
         )
         .orderBy(
@@ -394,9 +396,9 @@ def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_api_revenue_by_nation",
     oracle="""
     SELECT n.n_name AS n_name,
-           ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
-                                     * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / 10000.0, 4) AS revenue
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 10000.0 AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey  = c.c_custkey
@@ -421,14 +423,16 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT /*+ BROADCAST(c, n) */ n.n_name AS n_name,
                CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
                                    * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / 10000.0 AS raw_revenue
+                 / 10000.0 AS revenue
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey  = c.c_custkey
         JOIN nation n   ON c.c_nationkey = n.n_nationkey
-        GROUP BY n.n_name ORDER BY raw_revenue DESC, n_name
+        GROUP BY n.n_name ORDER BY revenue DESC, n_name
         """
-    ).select("n_name", dround(F.col("raw_revenue"), 4).alias("revenue"))
+    )  # no final ROUND: the raw int64/1e4 quotient is scale-independent
+    # (4-decimal ROUND of totals whose x*1e4 nears 2^53 diverges between
+    # engines — the r10 sf10 class; migrated here r11 per ADVICE)
 
 
 @register(
@@ -813,10 +817,10 @@ def scalar_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
       SELECT o_orderpriority,
-             ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                        AS DOUBLE) / 100.0, 4) AS total_price,
-             ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                        AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_price,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS total_price,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
              ROUND(MAX(o_totalprice), 4) AS max_price
       FROM orders GROUP BY o_orderpriority)
     SELECT o_orderpriority, metric, value
@@ -835,8 +839,12 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
     wide = orders.groupBy("o_orderpriority").agg(
-        _r4(F.sum(cents).cast("double") / 100.0).alias("total_price"),
-        _r4(F.sum(cents).cast("double") / 100.0 / F.count("*")).alias("avg_price"),
+        # no final ROUND on the fixed-point quotients (r10 sf10 class):
+        # int64 cast → /100.0 → /count is IEEE-deterministic, identical
+        # in both engines at any scale; only the max (a single bounded
+        # value) keeps its 4-decimal round.
+        (F.sum(cents).cast("double") / 100.0).alias("total_price"),
+        (F.sum(cents).cast("double") / 100.0 / F.count("*")).alias("avg_price"),
         _r4(F.max("o_totalprice")).alias("max_price"),
     )
     return wide.unpivot(
@@ -1792,8 +1800,8 @@ def udtf_dynamic_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 100.0, 4) AS revenue
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
     FROM orders
     WHERE o_totalprice > 150000.0 AND o_orderdate >= DATE '1995-01-01'
     GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -1829,7 +1837,8 @@ def sql_api_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return raw.select(
         "o_orderpriority",
         "n_orders",
-        dround(F.col("cents").cast("double") / 100.0, 4).alias("revenue"),
+        # no final ROUND: raw int64/1e2 quotient (r10 sf10 class)
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
     )
 
 
@@ -1882,8 +1891,8 @@ def scalar_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
         SELECT o_orderstatus AS st,
-               ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                          AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_price,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
                ROUND(MAX(o_totalprice), 4) AS max_price
         FROM orders GROUP BY o_orderstatus)
     SELECT 'avg_price' AS key,
@@ -1916,7 +1925,8 @@ def agg_transpose_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderstatus").alias("st"))
         .agg(
-            dround(F.sum(cents) / 100.0 / F.count("*"), 4).alias("avg_price"),
+            # no final ROUND on the fixed-point quotient (r10 sf10 class)
+            (F.sum(cents) / 100.0 / F.count("*")).alias("avg_price"),
             dround(F.max("o_totalprice"), 4).alias("max_price"),
         )
         .orderBy("st")

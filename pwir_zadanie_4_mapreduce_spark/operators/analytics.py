@@ -631,8 +631,8 @@ EXPECTATION_RULES = [
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COUNT(*) FILTER (WHERE o_totalprice > 300000.0)
                     AS BIGINT) AS n_big,
-               ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
-                                   AS BIGINT)) AS DOUBLE) / 100.0, 4)
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0
                  AS sum_price
         FROM orders),
     g AS (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
@@ -662,9 +662,10 @@ def quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs,
         F.count(F.lit(1)).alias("n_rows"),
         F.count_if(F.col("o_totalprice") > 300000.0).alias("n_big"),
-        # fixed-point cents sum: order-independent (see join_range_binned)
-        dround(
-            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))) / 100.0, 4
+        # fixed-point cents sum: order-independent (see join_range_binned);
+        # no final ROUND — raw int64/1e2 quotient (r10 sf10 class)
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))) / 100.0
         ).alias("sum_price"),
     )
     rollup = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n"))

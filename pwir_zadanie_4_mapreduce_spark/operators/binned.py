@@ -165,7 +165,7 @@ def agg_equidepth_histogram_binned(spark: SparkSession, sf_dir: str) -> DataFram
                 AS sad
             FROM fine a CROSS JOIN fine f)
     SELECT CAST(tot.n AS BIGINT) AS n_customers,
-           ROUND(CAST(tot.tsc AS DOUBLE) / 100.0, 4) AS total_revenue,
+           CAST(tot.tsc AS DOUBLE) / 100.0 AS total_revenue,
            ROUND(sad.sad / (2.0 * tot.n * tot.ts), 4) AS gini
     FROM sad CROSS JOIN tot
     """,
@@ -212,7 +212,8 @@ def stats_gini_revenue_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sad.crossJoin(F.broadcast(tot)).select(
         F.col("n").alias("n_customers"),
-        _r4(F.col("tsc").cast("double") / 100.0).alias("total_revenue"),
+        # no final ROUND: raw int64/1e2 quotient (r10 sf10 class)
+        (F.col("tsc").cast("double") / 100.0).alias("total_revenue"),
         _r4(F.col("sad") / (2.0 * F.col("n") * F.col("ts"))).alias("gini"),
     )
 

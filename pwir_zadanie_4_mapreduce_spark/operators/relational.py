@@ -44,14 +44,14 @@ def _r4(c: Column) -> Column:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4)                                      AS sum_qty,
-           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 100.0, 4)                              AS sum_base_price,
-           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
-                                     * 10000 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 10000.0, 4)                            AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                                     * 10000 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 10000.0, 4)                            AS sum_charge,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0                                        AS sum_base_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                               * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0                                      AS sum_disc_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0                                      AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                      AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                                 AS avg_price,
            ROUND(AVG(l_discount), 4)                                      AS avg_disc,
@@ -84,9 +84,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _r4(F.sum("l_quantity")).alias("sum_qty"),
-            _r4(F.sum(base_c).cast("double") / 100.0).alias("sum_base_price"),
-            _r4(F.sum(disc_c).cast("double") / 10000.0).alias("sum_disc_price"),
-            _r4(F.sum(charge_c).cast("double") / 10000.0).alias("sum_charge"),
+            # NO final ROUND on the fixed-point quotients (r10 sf10
+            # catch, migrated r11): past ~1e11 totals x*1e4 nears 2^53
+            # and the engines' 4-decimal rounds diverge; the raw
+            # int64/1e4 quotient is bit-identical at ANY scale.
+            (F.sum(base_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(disc_c).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_c).cast("double") / 10000.0).alias("sum_charge"),
             _r4(F.avg("l_quantity")).alias("avg_qty"),
             _r4(F.avg("l_extendedprice")).alias("avg_price"),
             _r4(F.avg("l_discount")).alias("avg_disc"),
@@ -433,8 +437,8 @@ def agg_rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 100.0, 4) AS total
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -450,7 +454,8 @@ def agg_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            _r4(F.sum(cents).cast("double") / 100.0).alias("total"),
+            # no final ROUND: raw int64/1e2 quotient (see q1 note)
+            (F.sum(cents).cast("double") / 100.0).alias("total"),
         )
     )
 

@@ -331,8 +331,8 @@ TIME_SPLIT_CUTOFF = "2001-01-01"
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_date,
            CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_date,
-           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 100.0, 4) AS sum_price
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price
     FROM orders GROUP BY split ORDER BY split
     """,
 )
@@ -358,12 +358,12 @@ def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderdate").alias("first_date"),
             F.max("o_orderdate").alias("last_date"),
             # cents sum: the train side reaches ~3.4e11 at sf1, where a
-            # double sum's fold order flips the 4th decimal (r10 sweep)
-            dround(
+            # double sum's fold order flips the 4th decimal (r10 sweep);
+            # no final ROUND — raw int64/1e2 quotient (r10 sf10 class)
+            (
                 F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
                 .cast("double")
-                / 100.0,
-                4,
+                / 100.0
             ).alias("sum_price"),
         )
         .orderBy("split")

@@ -34,8 +34,8 @@ _SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_roundtrips")
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 100.0, 4) AS sum_price,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price,
            CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -70,12 +70,12 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cents sum (r10 sf1 sweep: ~7.5e10 per priority flips the
             # 4th decimal on fold order) — value-exactness of the text
             # round-trip is still fully proven: FLOOR of the re-parsed
-            # double only matches the oracle if every value survived
-            dround(
+            # double only matches the oracle if every value survived.
+            # No final ROUND — raw int64/1e2 quotient (r10 sf10 class)
+            (
                 F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
                 .cast("double")
-                / 100.0,
-                4,
+                / 100.0
             ).alias("sum_price"),
             F.min("o_orderdate").alias("first_order"),
         )
@@ -129,8 +129,8 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 100.0, 4) AS sum_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price,
            ROUND(SUM(l_quantity), 4) AS sum_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -156,12 +156,12 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            # cents sum (r10 sf1 sweep: ~1e11 per flag — fold-order class)
-            dround(
+            # cents sum (r10 sf1 sweep: ~1e11 per flag — fold-order class);
+            # no final ROUND — raw int64/1e2 quotient (r10 sf10 class)
+            (
                 F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
                 .cast("double")
-                / 100.0,
-                4,
+                / 100.0
             ).alias("sum_price"),
             dround(F.sum("l_quantity"), 4).alias("sum_qty"),
         )
@@ -260,8 +260,8 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) FILTER (o_orderkey % 2 = 0) AS BIGINT) AS n_missing_priority,
-           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 100.0, 4) AS sum_price
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price
     FROM orders
     """,
 )
@@ -296,8 +296,9 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias(
             "n_missing_priority"
         ),
-        # fixed-point cents sum (round-9): see join_range_binned note
-        dround(
-            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))) / 100.0, 4
+        # fixed-point cents sum (round-9): see join_range_binned note;
+        # no final ROUND — raw int64/1e2 quotient (r10 sf10 class)
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))) / 100.0
         ).alias("sum_price"),
     )

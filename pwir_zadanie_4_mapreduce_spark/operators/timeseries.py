@@ -100,9 +100,9 @@ RANGE_MONTH = "1995-03"
     oracle=f"""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
-                                     AS BIGINT)) AS DOUBLE)
-                 / 100.0, 4) AS total_value
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_value
     FROM orders o JOIN lineitem l
       ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
      AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + {RANGE_SPAN_DAYS}
@@ -171,9 +171,10 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_pairs"),
             # fixed-point cents sum (round-9): order-independent int64
             # arithmetic — the double sum flipped the 4th decimal at
-            # sf0.1 (~1.4e10 totals) on summation order alone
-            dround(
-                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0, 4
+            # sf0.1 (~1.4e10 totals) on summation order alone.
+            # No final ROUND — raw int64/1e2 quotient (r10 sf10 class)
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0
             ).alias("total_value"),
         )
         .orderBy("o_orderpriority")

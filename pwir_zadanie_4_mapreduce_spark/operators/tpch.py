@@ -392,7 +392,7 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
         GROUP BY l_suppkey)
     SELECT s.s_suppkey, s.s_name,
-           ROUND(CAST(r.rev_fp AS DOUBLE) / 10000.0, 4) AS total_revenue
+           CAST(r.rev_fp AS DOUBLE) / 10000.0 AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.rev_fp = (SELECT MAX(rev_fp) FROM revenue)
     ORDER BY s.s_suppkey
@@ -427,7 +427,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            _r4(F.col("rev_fp").cast("double") / 10000.0).alias("total_revenue"),
+            # no final ROUND: raw int64/1e4 quotient (r10 sf10 class)
+            (F.col("rev_fp").cast("double") / 10000.0).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )

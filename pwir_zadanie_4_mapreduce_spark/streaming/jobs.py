@@ -1082,10 +1082,13 @@ def run_crash_restart_tws_totals(spark: SparkSession, sf_dir: str, out_dir: str)
     sibling of run_restartable_tws_totals, whose stop() is a GRACEFUL
     shutdown that lets the in-flight batch finish. Real failures
     aren't graceful: phase 1 runs in a SEPARATE python/JVM process
-    (own SparkSession, same RocksDB checkpoint + append sink on
-    shared dirs) consuming the first two ts slices, and the parent
-    SIGKILLs it the moment the first micro-batch commit lands — the
-    process dies with whatever batch is in flight. Phase 2 starts a
+    tree (own session/process group, own SparkSession, same RocksDB
+    checkpoint + append sink on shared dirs) consuming the first two
+    ts slices, and the parent SIGKILLs the whole process GROUP the
+    moment the first micro-batch commit lands — python driver AND its
+    JVM die together with whatever batch is in flight (killing only
+    the python pid would orphan the JVM, which keeps committing to
+    the shared checkpoint and collides with phase 2). Phase 2 starts a
     brand-new query in THIS session on the same checkpoint: RocksDB
     typed state and committed offsets must both recover, an in-flight
     uncommitted batch is REPLAYED (recorded in LAST_PROGRESS — the
@@ -1136,6 +1139,12 @@ def run_crash_restart_tws_totals(spark: SparkSession, sf_dir: str, out_dir: str)
         cwd=child_cwd,  # isolate any spark-warehouse/derby litter
         stdout=open(os.path.join(out_dir, "child.log"), "w"),
         stderr=subprocess.STDOUT,
+        # own session ⇒ the py4j-launched JVM lands in the same process
+        # group, so the kill below takes the WHOLE driver host down —
+        # without this, killing just the python pid leaves an orphan JVM
+        # committing micro-batches to the shared checkpoint and phase 2
+        # flakes with CONCURRENT_STREAM_LOG_UPDATE under load
+        start_new_session=True,
     )
     # kill -9 the moment the FIRST micro-batch commit exists — batch 2
     # (slice 2) is then typically in flight and dies uncommitted
@@ -1157,8 +1166,19 @@ def run_crash_restart_tws_totals(spark: SparkSession, sf_dir: str, out_dir: str)
         else []
     )
     assert child.poll() is None, "phase-1 child exited before the kill"
-    os.kill(child.pid, signal.SIGKILL)  # the crash — no stop(), no flush
+    # the crash: SIGKILL the process GROUP (python driver + its JVM) —
+    # no stop(), no flush, and no orphan JVM left committing batches
+    os.killpg(os.getpgid(child.pid), signal.SIGKILL)
     child.wait(timeout=60)
+    # belt-and-braces: confirm no phase-1 process (python or JVM) from
+    # the killed group survives before phase 2 reuses the checkpoint
+    kill_deadline = time.monotonic() + 30
+    while time.monotonic() < kill_deadline:
+        try:
+            os.killpg(child.pid, 0)  # group id == child pid (new session)
+        except ProcessLookupError:
+            break  # whole group gone
+        time.sleep(0.05)
     # a commit can land in the instant between the listing above and
     # the SIGKILL — the post-kill listing bounds the true count
     commits_after_kill = (
