@@ -219,7 +219,18 @@ def _multifile_dir(spark, src_dir: str) -> tuple[str, str]:
     # re-materialize into itself — the stale-marker path would rmtree
     # the SOURCE before reading it (learned the hard way at r10).
     if os.path.realpath(dst) == os.path.realpath(src_dir):
-        return src_dir, "multifile-32"
+        # label from the directory's ACTUAL fan-out, not a hardcoded
+        # "32" — the fixture may have been built with another files=N
+        n_parts = 0
+        for t in ("orders.parquet", "lineitem.parquet", "events.parquet"):
+            tdir = os.path.join(src_dir, t)
+            if os.path.isdir(tdir):
+                n_parts = max(
+                    n_parts,
+                    sum(1 for f in os.listdir(tdir) if f.endswith(".parquet")),
+                )
+        label = f"multifile-{n_parts}" if n_parts else "multifile-preexisting"
+        return src_dir, label
     marker = os.path.join(dst, "_COMPLETE")
     # The marker records a fingerprint of the SOURCE layout (per-file
     # size+mtime) and the files parameter; a cached fixture built from

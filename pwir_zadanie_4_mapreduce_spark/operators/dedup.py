@@ -1752,9 +1752,12 @@ def dedup_embedding_rp_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     almost entirely in candidate cosines; this config prunes ~an order
     of magnitude harder. The price is recall at LOW thresholds — at the
     fixture's hard τ=0.4 regime (bit-agreement 0.63) recall is ~18 %,
-    while at a production near-dup τ≈0.9 (agreement 0.856,
-    p_band=0.286) it is 1-(1-0.286)^8 ≈ 0.93 — bands × bits is the
-    declared tuning surface and this op IS the other end of the trade.
+    while at a production near-dup τ≈0.9 it is MEASURED at 120/120 on
+    a planted-pair fixture (cosines 0.902-0.985, md5-deterministic),
+    with only 2 random sub-0.9 pairs passing the bands vs the 16-bit
+    config's 11 — tests/test_rp_recall.py pins the full recall table;
+    bands × bits is the declared tuning surface and this op IS the
+    other end of the trade.
 
     Plan shape is identical to dedup_embedding_rp_lsh: one fused
     projection computes all 8 band values (64 literal-vector dots in
@@ -1796,4 +1799,132 @@ def dedup_embedding_rp_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", dround("cosine", 4).alias("cosine"))
+    )
+
+
+SEMDEDUP_K_MIN = 16  # floor so tiny fixtures keep a multi-cluster plan
+
+
+@register(
+    "dedup_semantic_centroid_scaled",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
+    kk AS (SELECT GREATEST({SEMDEDUP_K_MIN},
+                           CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))
+               AS k FROM e),
+    cent AS (
+        SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+        FROM e CROSS JOIN kk
+        QUALIFY ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= kk.k),
+    assigned AS (
+        SELECT e.vec_id, e.v, e.nrm, c.centroid_id
+        FROM e CROSS JOIN cent c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(list_zip(e.v, c.cv),
+                         z -> z[1] * z[2])) / (e.nrm * c.cn) DESC,
+                     c.centroid_id) = 1),
+    pairs AS (
+        SELECT b.vec_id, b.centroid_id, a.vec_id AS dup_of,
+               {_SEM_COS_AB} AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {_SEM_COS_AB} >= {SEMANTIC_DUP_THRESHOLD})
+    SELECT vec_id, centroid_id, MIN(dup_of) AS dup_of,
+           ROUND(arg_min(cosine, dup_of), 4) AS dup_cosine
+    FROM pairs GROUP BY vec_id, centroid_id
+    """,
+)
+def dedup_semantic_centroid_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with DATA-DERIVED k — the 100 TB answer the fixed-k
+    sibling's docstring names: k = max(16, floor(sqrt(n))) grows with
+    corpus size, so expected in-cluster pair volume is
+    sum_c n_c^2/2 ~ n^2/(2k) ~ n^1.5/2 instead of the fixed-k op's
+    n^2/32 (its measured last-decade slope 0.97 — quadratic in
+    cluster size). Abbas et al. 2023 (arXiv:2303.09540) run k ~ sqrt(n)
+    coarse clusters for exactly this reason.
+
+    Seeds are the k vectors lowest in md5(vec_id) order — a
+    deterministic pseudo-random spread both engines reproduce
+    bit-identically (md5 hex strings compare equal cross-engine),
+    unlike lowest-vec_id seeds whose quality degrades as k grows.
+
+    Plan differences vs the fixed-k literal-codebook sibling, because
+    k is no longer plan-literal-sized:
+      1. n is ONE bounded count (the data-derived-k point needs it);
+      2. the codebook is a TakeOrderedAndProject top-k (no full sort)
+         kept as a DataFrame and BROADCAST — at k=2450 (sf10-scale)
+         a literal codebook would be megabytes of plan;
+      3. assignment is broadcast-crossJoin (n x k rows, map-side only)
+         collapsed by ONE groupBy whose max_by partial-aggregates
+         before the shuffle — shuffle volume is n rows, not n x k
+         (explode + one groupBy, never per-element lambda re-eval);
+      4. the argmax tie-break (max cosine, then min centroid_id) is
+         max_by over a (cosine, -centroid_id) struct == the oracle's
+         ROW_NUMBER ... ORDER BY cos DESC, centroid_id.
+    In-cluster pair search and min-id witness agg are the fixed-k
+    op's, re-run verbatim in DuckDB on the same fold-ordered sums."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .transform(cut_lineage)  # materialize v/nrm: the per-centroid
+        # cosine lambdas below must not re-inline the cast transform
+    )
+    n = e.count()  # bounded driver scalar — k is a function of it
+    k = max(SEMDEDUP_K_MIN, math.isqrt(n))
+    cent = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)  # TakeOrderedAndProject: per-partition top-k, no sort
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    ccos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nrm", "centroid_id", ccos.alias("ccos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("nid")),
+            ).alias("centroid_id"),
+            F.first("v").alias("v"),  # constant within the group
+            F.first("nrm").alias("nrm"),
+        )
+        .transform(cut_lineage)
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("dup_of"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        "vec_id",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .select("vec_id", "centroid_id", "dup_of", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+    )
+    return pairs.groupBy("vec_id", "centroid_id").agg(
+        F.min("dup_of").alias("dup_of"),
+        dround(F.min_by("cosine", "dup_of"), 4).alias("dup_cosine"),
     )

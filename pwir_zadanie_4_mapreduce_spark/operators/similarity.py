@@ -1534,7 +1534,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), "vec_id")
             .limit(1)
         )
-        row = pick_plan.collect()[0]
+        rows = pick_plan.collect()
+        if not rows:
+            # pool exhausted (corpus smaller than MMR_K non-query
+            # vectors): return the short ranking, same as the oracle's
+            # greedy unroll which likewise emits fewer rows
+            break
+        row = rows[0]
         selected.append((list(row["v"]), float(row["nrm"])))
         chosen_ids.append(row["vec_id"])
         picks.append(
@@ -1544,6 +1550,10 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dround("rel", 4).alias("relevance"),
                 dround("score", 4).alias("mmr_score"),
             )
+        )
+    if not picks:  # empty pool: typed empty ranking, not an IndexError
+        return spark.createDataFrame(
+            [], "rank int, vec_id bigint, relevance double, mmr_score double"
         )
     out = picks[0]
     for p in picks[1:]:

@@ -1,0 +1,120 @@
+"""Measured recall pins for the two RP-LSH banding configs on a
+PLANTED near-duplicate fixture (round-10 verdict: the 0.93-recall
+claim in dedup_embedding_rp_lsh_wide's docstring was computed, not
+measured — the shipped fixture's cosines top out at 0.51, so the
+production τ≈0.9 regime was never exercised by data).
+
+Construction (fully deterministic — md5-derived, no RNG):
+  * 200 base vectors, dim 64, components md5-mapped to [-1, 1];
+  * 120 planted near-duplicates: dup_j of base_j built EXACTLY at a
+    target cosine by the rotation v' = v̂·cos t + û⊥·sin t, targets
+    swept 0.902 → 0.9853 (the production near-dup band);
+  * float32 storage perturbs the planted cosines by ~1e-7 — far from
+    the 0.9 cut, so the ground-truth pair set at τ=0.9 is exactly the
+    120 planted pairs (max non-planted cosine ≈ 0.52, verified below).
+
+Both ops' hyperplanes are md5-derived constants, so the candidate
+sets are bit-stable across runs/machines and the recall fractions
+below are exact pins, not bounds:
+
+  config                      bands×bits  recall@0.9  recall@0.95  out pairs
+  dedup_embedding_rp_lsh         4×4      119/120     51/51        131
+  dedup_embedding_rp_lsh_wide    8×8      120/120     51/51        122
+
+The out-pairs column doubles as the precision story: the 16-bit
+config lets 11 random (cos in [0.4, 0.9)) pairs through its bands,
+the 64-bit config 2 — the candidate-pruning trade the two ops'
+docstrings declare (wide = fewer random collisions at equal-or-better
+recall on genuinely-near pairs)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DIM = 64
+N_BASE = 200
+N_DUP = 120
+
+
+def _md5_floats(tag: str, n: int) -> np.ndarray:
+    out: list[float] = []
+    i = 0
+    while len(out) < n:
+        h = hashlib.md5(f"{tag}-{i}".encode()).digest()
+        for k in range(0, 16, 4):
+            out.append(int.from_bytes(h[k : k + 4], "big") / 2**32 * 2 - 1)
+        i += 1
+    return np.array(out[:n], dtype=np.float64)
+
+
+@pytest.fixture(scope="module")
+def planted(tmp_path_factory):
+    base = np.stack(
+        [_md5_floats(f"rp-recall-base-{i}", DIM) for i in range(N_BASE)]
+    )
+    vecs = [base[i] for i in range(N_BASE)]
+    for j in range(N_DUP):
+        v = base[j]
+        u = _md5_floats(f"rp-recall-noise-{j}", DIM)
+        vhat = v / np.linalg.norm(v)
+        up = u - (u @ vhat) * vhat
+        up /= np.linalg.norm(up)
+        ct = 0.902 + 0.0007 * j
+        vecs.append((vhat * ct + up * math.sqrt(1 - ct * ct)) * np.linalg.norm(v))
+    m = np.stack(vecs).astype(np.float32).astype(np.float64)
+    nrm = np.linalg.norm(m, axis=1)
+    cos = (m @ m.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(m), 1)
+    truth9 = {(int(a), int(b)) for a, b in zip(*iu) if cos[a, b] >= 0.9}
+    truth95 = {p for p in truth9 if cos[p] >= 0.95}
+    # the ground truth is exactly the planted set: nothing else nears 0.9
+    assert truth9 == {(j, N_BASE + j) for j in range(N_DUP)}
+    off = max(
+        cos[a, b]
+        for a, b in zip(*iu)
+        if (a, b) not in truth9
+    )
+    assert off < 0.6, off  # far from the 0.9 cut
+
+    sf_dir = tmp_path_factory.mktemp("rp_recall_sf")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(m)), pa.int64()),
+            "embedding": pa.array(
+                [list(r) for r in m.astype(np.float32)], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(m), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(sf_dir), "embeddings.parquet"))
+    return str(sf_dir), truth9, truth95
+
+
+@pytest.mark.parametrize(
+    "op, hits9, hits95, out_pairs",
+    [
+        ("dedup_embedding_rp_lsh", 119, 51, 131),
+        ("dedup_embedding_rp_lsh_wide", 120, 51, 122),
+    ],
+)
+def test_rp_lsh_planted_recall(spark, planted, op, hits9, hits95, out_pairs):
+    import __spark_entry__ as entry
+
+    sf_dir, truth9, truth95 = planted
+    rows = entry.queries()[op](spark, sf_dir).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in rows}
+    found9 = {(r["vec_a"], r["vec_b"]) for r in rows if r["cosine"] >= 0.9}
+    assert len(found) == out_pairs
+    assert sum(1 for p in truth9 if p in found9) == hits9
+    assert sum(1 for p in truth95 if p in found9) == hits95
+    # wide must never trail the 16-bit config on planted recall while
+    # letting through at most as many sub-0.9 random collisions
+    if op == "dedup_embedding_rp_lsh_wide":
+        assert hits9 == len(truth9)
