@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_embedding_rp_lsh_wide",
     "dedup_repeated_spans",
     "dedup_semantic_centroid",
+    # round-11: the data-derived-k (k ~ sqrt(n)) SemDeDup scale path
+    "dedup_semantic_centroid_scaled",
     "quality_gopher_rules",
     "dedup_cluster_components",
     "pipeline_corpus_prep",

@@ -756,7 +756,8 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            ROUND(stddev_samp(l_quantity), 4)                 AS sd_qty,
-           ROUND(var_samp(l_extendedprice), 4)               AS var_price,
+           ROUND(stddev_samp(l_extendedprice), 4)            AS sd_price,
+           ROUND(var_samp(l_discount), 4)                    AS var_disc,
            ROUND(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
            ROUND(covar_samp(l_quantity, l_discount), 4)      AS covar_qty_disc
     FROM lineitem
@@ -766,13 +767,24 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregates: stddev/variance/correlation/covariance
     — single-pass partial+final (Welford-style merge), no extra scan
-    per statistic."""
+    per statistic.
+
+    Magnitude discipline (r11 sf10 catch): each reported moment must
+    be O(1e4) or smaller, because the engines' co-moment MERGE ORDERS
+    differ and the accumulated relative error ~sqrt(n)*eps (~9e-13 at
+    sf10's 6e7 rows) flips the 4th decimal of any ~1e8+ value. The
+    raw variance of l_extendedprice (~9.0e8) did exactly that in the
+    r11 sf10 sweep, so the op reports its STDDEV (~3e4, where the
+    shared .4f grid sits at ~1e-9 relative — deterministic to sf1000)
+    and keeps raw variance on the O(1e-3) discount column. corr is
+    normalized O(1) by construction."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             _r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
-            _r4(F.var_samp("l_extendedprice")).alias("var_price"),
+            _r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+            _r4(F.var_samp("l_discount")).alias("var_disc"),
             _r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
             _r4(F.covar_samp("l_quantity", "l_discount")).alias("covar_qty_disc"),
         )

@@ -1087,11 +1087,13 @@ def dedup_embedding_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 124 750 pairs (23.1 %), recall 40/59 = 0.678. The fixture's
     max cosine is 0.51, so the demo τ must sit at 0.4 — a HARD LSH
     regime (p_band = cos-agreement⁴ ≈ 0.63⁴); at a production
-    near-dup threshold (τ≈0.9, agreement 0.856) the SAME config gives
-    1-(1-0.856⁴)⁴ ≈ 0.95 recall while random pairs collide at ≈23 % —
-    and widening to 8 bands × 8 bits (64 planes) drops random
-    collisions to ~3 % at 0.93 recall: bands × bits is the declared
-    tuning surface, exactly minhash's b×r trade.
+    near-dup threshold (τ≈0.9) the SAME config is MEASURED at 119/120
+    recall on a planted-pair fixture (cosines 0.902-0.985,
+    md5-deterministic; tests/test_rp_recall.py pins the table) while
+    random pairs collide at ≈23 % — and widening to 8 bands × 8 bits
+    (64 planes) measures 120/120 with ~5× fewer random collisions:
+    bands × bits is the declared tuning surface, exactly minhash's
+    b×r trade.
 
     100 TB: signatures are a projection (no shuffle); the band join
     shuffles 4 small rows per vector; bucket skew is bounded because a
