@@ -308,12 +308,15 @@ def _testdata_fingerprint(src_dir: str) -> dict[str, str]:
     return out
 
 
-def _load_bench_ref() -> dict[str, float]:
-    """Committed per-query fast-window steady-state reference
-    (bench_ref.json) — the basis of the median-ratio host normalizer.
+def _load_bench_ref(fname: str = "bench_ref.json") -> dict[str, float]:
+    """Committed per-query fast-window steady-state reference —
+    the basis of the median-ratio host normalizer. bench_ref.json is
+    the canonical sf0.1 vector; bench_ref.sf1.json (round-10 verdict
+    #6) is the sf1 vector, where plan regressions actually move
+    numbers (at sf0.1 half the registry sits on the latency floor).
     Empty dict if absent/unreadable (normalizer then disabled)."""
     try:
-        with open(os.path.join(REPO_ROOT, "bench_ref.json")) as fh:
+        with open(os.path.join(REPO_ROOT, fname)) as fh:
             return {k: float(v) for k, v in json.load(fh)["queries"].items()}
     except (OSError, ValueError, KeyError):
         return {}
@@ -394,6 +397,12 @@ def main() -> None:
     canonical_sf = float(os.environ.get("SPARK_GRAFT_CANONICAL_SF", "0.1"))
     alt_master = os.environ.get("SPARK_GRAFT_MASTER")
     canonical_config = sf_val == canonical_sf and not alt_master and layout == "multifile-32"
+    # sf1 is the second NORMALIZED config (round-10 verdict #6): same
+    # machine shape and layout, 10x the input — tracked against its own
+    # committed reference vector so sf1 closes carry round-over-round
+    # deltas too. The fast/slow canary verdict stays calibrated (and
+    # emitted) for the canonical sf0.1 config only.
+    sf1_config = sf_val == 1.0 and not alt_master and layout == "multifile-32"
     canary_ref = float(os.environ.get("SPARK_GRAFT_CANARY_REF", "0.53"))
     canary_best = float("inf")
     for _ in range(2):
@@ -446,7 +455,13 @@ def main() -> None:
     # — re-run it once; if it stays over the band, the entry is marked
     # stall_suspect in the JSON instead of silently polluting the
     # round-over-round record.
-    ref = _load_bench_ref() if canonical_config else {}
+    if canonical_config:
+        ref_vector = "bench_ref.json"
+    elif sf1_config:
+        ref_vector = "bench_ref.sf1.json"
+    else:
+        ref_vector = None
+    ref = _load_bench_ref(ref_vector) if ref_vector else {}
     stall_suspects: list[str] = []
     stall_reruns = 0
     factor0, _ = _host_factor(timings, ref)
@@ -498,7 +513,7 @@ def main() -> None:
     normalized_total = None
     host_factor = None
     n_ref_shared = 0
-    if canonical_config:
+    if ref:
         host_factor, n_ref_shared = _host_factor(timings, ref)
         if host_factor:
             normalized_total = round(total / host_factor, 3)
@@ -509,6 +524,7 @@ def main() -> None:
             "value": total,
             "normalized_total": normalized_total,
             "normalizer": "median_ratio_vs_bench_ref",
+            "ref_vector": ref_vector,
             "host_factor": host_factor,
             "n_ref_shared": n_ref_shared,
             "stall_suspects": stall_suspects,
