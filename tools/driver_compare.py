@@ -119,6 +119,14 @@ def main(argv: list[str]) -> int:
 
     spark = build_session(cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "16")))
     con = duckdb.connect()
+    # Bound the oracle's memory so big-SF sweeps SPILL instead of
+    # OOM-killing the whole shard (r11: a shingle-pair oracle at sf10
+    # ballooned DuckDB to 82 GB RSS and the kernel killed the process;
+    # with a limit DuckDB grades to out-of-core execution).
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if duck_mem:
+        con.sql(f"SET memory_limit='{duck_mem}'")
+        con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver fixtures are single files; the .fixtures scale-ups
         # (sf1) are Spark-written DIRECTORIES of part files — DuckDB
