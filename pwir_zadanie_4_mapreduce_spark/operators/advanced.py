@@ -1459,7 +1459,9 @@ def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -1493,7 +1495,19 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            # fixed-point 1e-4-grid sum, no final ROUND (r11 sf10
+            # catch: the ~4e10 double revenue sum flipped the 3rd
+            # decimal on fold order alone)
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + F.lit(0.5)
+                    )
+                )
+                .cast("double")
+                / 10000.0
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

@@ -161,7 +161,8 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
                COALESCE(u.o_totalprice, b.o_totalprice) AS price
         FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey)
     SELECT action, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(price), 2) AS sum_price
+           CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
     FROM merged GROUP BY action ORDER BY action
     """,
 )
@@ -186,7 +187,15 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("action")
         .agg(
             F.count("*").alias("n"),
-            dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            # fixed-point cents checksum (r11 sf10 catch: the plain
+            # double SUM's fold order flipped the 2nd decimal of the
+            # ~3.2e12 'unchanged' total); int64 sums are order-free and
+            # the raw int64/1e2 quotient is engine-identical at any sf
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+                .cast("double")
+                / 100.0
+            ).alias("sum_price"),
         )
         .orderBy("action")
     )

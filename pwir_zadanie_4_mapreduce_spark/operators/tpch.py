@@ -678,7 +678,8 @@ def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
         FROM lf GROUP BY l_partkey)
     SELECT lf.p_brand,
-           ROUND(SUM(lf.l_extendedprice) / 7.0, 4) AS avg_yearly
+           CAST(SUM(CAST(FLOOR(lf.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
     FROM lf JOIN av ON lf.l_partkey = av.l_partkey
     WHERE lf.l_quantity < av.qty_cut
     GROUP BY lf.p_brand
@@ -720,7 +721,18 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf.withColumn("qty_cut", F.lit(0.2) * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .groupBy("p_brand")
-        .agg(_r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(
+            # fixed-point cents sum, no final ROUND (r11 sf10 catch:
+            # the ~1.6e9 per-brand double sum flipped the 4th decimal
+            # on fold order); /7.0 of the raw int64/1e2 quotient is
+            # the same IEEE ops on both engines at any scale
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+                .cast("double")
+                / 100.0
+                / 7.0
+            ).alias("avg_yearly")
+        )
         .orderBy("p_brand")
     )
 
