@@ -2161,11 +2161,12 @@ def stats_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     WITH monthly AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
-             SUM(o_totalprice) AS rev
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS rev
       FROM orders GROUP BY m
     )
     SELECT m,
-           ROUND(rev, 4) AS revenue,
+           rev AS revenue,
            ROUND(rev / LAG(rev, 12) OVER (ORDER BY m) - 1.0, 4) AS yoy_change
     FROM monthly ORDER BY m
     """,
@@ -2183,13 +2184,23 @@ def orders_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(
+            # fixed-point cents sum, raw quotient (r11 sf10 catch: the
+            # ~4.6e10 monthly double sums flipped the 4th decimal on
+            # fold order); the O(1) yoy ratio keeps its 4-dec round —
+            # it divides two engine-identical doubles
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+                .cast("double")
+                / 100.0
+            ).alias("rev")
+        )
     )
     w = Window.orderBy("m")
     return (
         monthly.select(
             "m",
-            dround(F.col("rev"), 4).alias("revenue"),
+            F.col("rev").alias("revenue"),
             dround(F.col("rev") / F.lag("rev", 12).over(w) - 1.0, 4).alias(
                 "yoy_change"
             ),
