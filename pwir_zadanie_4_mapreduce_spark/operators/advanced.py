@@ -2284,11 +2284,12 @@ def layout_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
              o_orderpriority,
-             SUM(o_totalprice) AS rev
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS rev
       FROM orders GROUP BY 1, 2
     )
     SELECT m, o_orderpriority,
-           ROUND(rev, 4) AS revenue,
+           rev AS revenue,
            ROUND(rev / SUM(rev) OVER (PARTITION BY m), 4) AS share
     FROM daily
     ORDER BY m, o_orderpriority
@@ -2309,9 +2310,14 @@ def sql_api_priority_share_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.sql(
         """
         WITH daily AS (
+          -- fixed-point cents sum, raw quotient (r11 sf10 catch: the
+          -- ~1e10 month x priority double sums flipped the 4th
+          -- decimal on fold order); the share ratio divides two
+          -- engine-identical doubles, so its 4-dec round is safe
           SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
                  o_orderpriority,
-                 SUM(o_totalprice) AS rev
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0 AS rev
           FROM orders GROUP BY 1, 2
         )
         SELECT m, o_orderpriority,
@@ -2324,7 +2330,7 @@ def sql_api_priority_share_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "m",
         "o_orderpriority",
-        dround(F.col("revenue"), 4).alias("revenue"),
+        F.col("revenue"),
         dround(F.col("share"), 4).alias("share"),
     )
 

@@ -1313,7 +1313,8 @@ MV_BUMP_MOD = 97  # orders with key % 97 == 0 form the simulated delta batch
     )
     SELECT o_orderpriority, m,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(price), 4) AS revenue
+           CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue
     FROM updated GROUP BY o_orderpriority, m
     ORDER BY o_orderpriority, m
     """,
@@ -1345,9 +1346,14 @@ def warehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated = orders.withColumn(
         "price", F.when(is_delta, F.col("o_totalprice") * 1.1).otherwise(F.col("o_totalprice"))
     )
-    # the stale MV, as it existed before the delta arrived
+    # the stale MV, as it existed before the delta arrived.
+    # Revenue state is fixed-point CENTS (r11 sf10 catch: the ~1e10
+    # double group sums flipped the 4th decimal on fold order) — and
+    # integer MV state is also the right call operationally: carried +
+    # recomputed cents stay exact under any merge order.
+    cents_base = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
     stale_mv = orders.groupBy("o_orderpriority", "m").agg(
-        F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("rev")
+        F.count("*").alias("n_orders"), F.sum(cents_base).alias("rev_c")
     )
     # groups the delta batch touches — delta-batch-sized, broadcast
     affected = (
@@ -1356,10 +1362,11 @@ def warehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried = stale_mv.join(
         F.broadcast(affected), ["o_orderpriority", "m"], "left_anti"
     )
+    cents_new = F.floor(F.col("price") * 100 + F.lit(0.5))
     recomputed = (
         updated.join(F.broadcast(affected), ["o_orderpriority", "m"], "left_semi")
         .groupBy("o_orderpriority", "m")
-        .agg(F.count("*").alias("n_orders"), F.sum("price").alias("rev"))
+        .agg(F.count("*").alias("n_orders"), F.sum(cents_new).alias("rev_c"))
     )
     return (
         carried.unionByName(recomputed)
@@ -1367,7 +1374,7 @@ def warehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "m",
             "n_orders",
-            dround(F.col("rev"), 4).alias("revenue"),
+            (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
         )
         .orderBy("o_orderpriority", "m")
     )

@@ -201,10 +201,19 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type, CAST(rn AS BIGINT) AS rn,
-           ROUND(corr(value, prev) OVER (
-               PARTITION BY event_type ORDER BY rn
-               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 4) AS roll_corr
+           -- zero-variance guard mirrored from the Spark side: on a
+           -- constant 50-row run DuckDB's corr yields 1.0 while
+           -- Spark's raises ANSI DIVIDE_BY_ZERO; both spellings below
+           -- emit NULL for that window instead
+           CASE WHEN stddev_samp(value) OVER w > 1e-6
+                 AND stddev_samp(prev) OVER w > 1e-6
+                THEN ROUND(covar_samp(value, prev) OVER w
+                           / (stddev_samp(value) OVER w
+                              * stddev_samp(prev) OVER w), 4)
+           END AS roll_corr
     FROM seq
+    WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
     QUALIFY rn % 100 = 0
     ORDER BY event_type, rn
     """,
@@ -237,12 +246,28 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row does not exist. Result identical to the frame spelling
     # (the oracle keeps it).
     anchor = (F.ceil(F.col("rn") / 100) * 100).cast("long")
+    # corr spelled as covar/(sd*sd) with an explicit zero-variance
+    # guard (r11 sf10 catch): Spark's corr AGGREGATE raises ANSI
+    # DIVIDE_BY_ZERO when a window has zero variance — which the
+    # factor-100 scaleup's replica interleaving produces as 50-row
+    # constant-value runs — while DuckDB's corr returns NULL there.
+    # The guarded spelling emits NULL on both engines.
+    sd_v, sd_p = F.stddev_samp("value"), F.stddev_samp("prev")
+    # the guard threshold is an EPSILON, not 0: on an exactly-constant
+    # run Spark's Welford M2 is exactly 0 but DuckDB's segment-tree
+    # window state leaves ~1e-14 cancellation noise (and then corr of
+    # the noise reads 1.0) — fixture windows are either truly constant
+    # or have sd >= O(1), so 1e-6 separates the two cleanly
+    corr_guarded = F.when(
+        (sd_v > 1e-6) & (sd_p > 1e-6),
+        F.covar_samp("value", "prev") / (sd_v * sd_p),
+    )
     return (
         seq.withColumn("anchor", anchor)
         .filter(F.col("anchor") - F.col("rn") <= 49)
         .groupBy("event_type", F.col("anchor").alias("rn"))
         .agg(
-            _r4(F.corr("value", "prev")).alias("roll_corr"),
+            _r4(corr_guarded).alias("roll_corr"),
             F.max(F.when(F.col("rn") == F.col("anchor"), 1).otherwise(0)).alias("has_anchor"),
         )
         .filter(F.col("has_anchor") == 1)

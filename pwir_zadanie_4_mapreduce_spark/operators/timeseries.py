@@ -379,25 +379,52 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANOMALY_MIN_HISTORY = 30
 ANOMALY_Z = 3.0
+# (r11 sf10 history: two epsilon guards were tried against the double
+# cumsum spelling's sigma noise before the fixed-point rewrite below
+# made sigma bit-equal cross-engine; with exact int64 cents moments a
+# plain sigma > 0 is deterministic and no epsilon exists anymore)
 
 
 @register(
     "timeseries_anomaly_zscore",
     oracle=f"""
-    WITH seq AS (
+    -- fixed-point second moments (r11 sf10): cents and cents^2 window
+    -- sums are EXACT int64, so mu/sigma/z below are the same IEEE
+    -- double ops on the same integers in both engines — bit-equal,
+    -- no epsilon, no fold-order or segment-tree noise anywhere
+    WITH seq0 AS (
       SELECT event_type, event_id, value,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
-             AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                              ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS mu,
-             stddev_samp(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                              ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS sigma
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER cum AS cumc,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER cum AS cumsq
       FROM events
+      WINDOW cum AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    seq AS (
+      SELECT event_type, event_id, value, c, rn,
+             LEAST(rn - 1, 100) AS n,
+             LAG(cumc, 1) OVER w - COALESCE(LAG(cumc, 101) OVER w, 0) AS s1,
+             LAG(cumsq, 1) OVER w - COALESCE(LAG(cumsq, 101) OVER w, 0) AS s2
+      FROM seq0
+      WINDOW w AS (PARTITION BY event_type ORDER BY rn)
+    ),
+    zz AS (
+      SELECT event_type, event_id, value, rn,
+             CAST(s1 AS DOUBLE) / n AS muc,
+             SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                           / (n - 1), 0.0)) AS sigmac,
+             c
+      FROM seq
     )
     SELECT event_type, event_id, ROUND(value, 4) AS value,
-           ROUND((value - mu) / sigma, 4) AS zscore
-    FROM seq
-    WHERE rn > {ANOMALY_MIN_HISTORY} AND sigma > 0
-      AND abs((value - mu) / sigma) > {ANOMALY_Z}
+           ROUND((c - muc) / sigmac, 4) AS zscore
+    FROM zz
+    WHERE rn > {ANOMALY_MIN_HISTORY} AND sigmac > 0
+      AND abs((c - muc) / sigmac) > {ANOMALY_Z}
     ORDER BY event_type, event_id
     """,
 )
@@ -421,34 +448,56 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   Σ[rn-101, rn-1] = cum(rn-1) - cum(rn-101)
     # with n = min(rn-1, 100). Same numbers as the frame spelling
     # (the oracle keeps stddev_samp over the explicit frame).
+    # FIXED-POINT second moments (r11 sf10 rewrite): the double
+    # cumsum spelling accumulated ~1e-5 cancellation noise in the
+    # lagged differences at sf10 magnitudes — enough to make sqrt()
+    # of a constant window's variance go NaN (and Spark's NaN-is-
+    # greater-than-everything comparisons then passed BOTH filters:
+    # 10k phantom rows), and to flip borderline-sigma windows against
+    # ANY epsilon. Cents (c) and c*c window sums are EXACT int64 on
+    # both engines (c <= 5e4, c^2 * 1.5e7 rows << 2^63), the lag
+    # differences cancel exactly, and mu/sigma/z are then the same
+    # IEEE ops on the same integers — bit-equal cross-engine, no
+    # epsilon needed.
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     seq0 = ev.select(
         "event_type",
         "event_id",
         "value",
+        c.alias("c"),
         F.row_number().over(w).alias("rn"),
-        F.sum("value").over(run).alias("cum"),
-        F.sum(F.col("value") * F.col("value")).over(run).alias("cumsq"),
+        F.sum(c).over(run).alias("cumc"),
+        F.sum(c * c).over(run).alias("cumsq"),
     )
     w2 = Window.partitionBy("event_type").orderBy("rn")  # ts projected away
     n = F.least(F.col("rn") - 1, F.lit(101 - 1))
-    s1 = F.lag("cum", 1).over(w2) - F.coalesce(F.lag("cum", 101).over(w2), F.lit(0.0))
+    s1 = F.lag("cumc", 1).over(w2) - F.coalesce(
+        F.lag("cumc", 101).over(w2), F.lit(0).cast("long")
+    )
     s2 = F.lag("cumsq", 1).over(w2) - F.coalesce(
-        F.lag("cumsq", 101).over(w2), F.lit(0.0)
+        F.lag("cumsq", 101).over(w2), F.lit(0).cast("long")
     )
     seq = seq0.select(
         "event_type",
         "event_id",
         "value",
+        "c",
         "rn",
-        (s1 / n).alias("mu"),
-        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("sigma"),
+        (s1.cast("double") / n).alias("muc"),
+        F.sqrt(
+            F.greatest(
+                (s2.cast("double") - s1.cast("double") * s1.cast("double") / n)
+                / (n - 1),
+                F.lit(0.0),
+            )
+        ).alias("sigmac"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    z = (F.col("c") - F.col("muc")) / F.col("sigmac")
     return (
         seq.filter(
             (F.col("rn") > ANOMALY_MIN_HISTORY)
-            & (F.col("sigma") > 0)
+            & (F.col("sigmac") > 0)
             & (F.abs(z) > ANOMALY_Z)
         )
         .select(
@@ -464,32 +513,47 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "timeseries_downsample_triangle",
     oracle="""
+    -- fixed-point LTTB (r11 sf10): per-bucket sums of int64 MICROS
+    -- (bucket-relative, so 15k-point buckets stay exact) and int64
+    -- CENTS are exact on both engines; the neighbor-average anchors
+    -- and triangle areas below are then the same IEEE ops on the same
+    -- integers — bit-equal areas, deterministic argmax, no rounding
+    -- guard needed. Areas are in micros*cents units (1e8 x the old
+    -- seconds*value scale).
     WITH pts AS (
-      SELECT event_id, event_type,
-             epoch_us(ts) / 1000000.0 AS x,
-             CAST(value AS DOUBLE) AS y,
-             CAST(FLOOR(epoch_us(ts) / 1000000.0 / 86400) AS BIGINT) AS b
+      SELECT event_id, event_type, value,
+             epoch_us(ts) AS xm,
+             epoch_us(ts) // 86400000000 AS b,
+             CAST(epoch_us(ts) - (epoch_us(ts) // 86400000000) * 86400000000
+                  AS BIGINT) AS xr,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
       FROM events WHERE value IS NOT NULL
     ),
     bkt AS (
-      SELECT event_type, b, AVG(x) AS bx, AVG(y) AS by_ FROM pts
-      GROUP BY event_type, b
+      SELECT event_type, b,
+             SUM(xr) AS sxr, SUM(c) AS sc, COUNT(*) AS n
+      FROM pts GROUP BY event_type, b
     ),
     ctx AS (
       SELECT event_type, b,
-             LAG(bx)  OVER w AS px, LAG(by_)  OVER w AS py,
-             LEAD(bx) OVER w AS nx, LEAD(by_) OVER w AS ny
+             CAST(LAG(sxr) OVER w AS DOUBLE) / LAG(n) OVER w
+               + (LAG(b) OVER w - b) * 86400000000.0 AS px,
+             CAST(LAG(sc)  OVER w AS DOUBLE) / LAG(n) OVER w AS py,
+             CAST(LEAD(sxr) OVER w AS DOUBLE) / LEAD(n) OVER w
+               + (LEAD(b) OVER w - b) * 86400000000.0 AS nx,
+             CAST(LEAD(sc)  OVER w AS DOUBLE) / LEAD(n) OVER w AS ny
       FROM bkt WINDOW w AS (PARTITION BY event_type ORDER BY b)
     ),
     scored AS (
-      SELECT p.event_type, p.b, p.event_id, p.x, p.y,
-             ROUND(abs((c.px - c.nx) * (p.y - c.py)
-                       - (c.px - p.x) * (c.ny - c.py)), 0) AS area
+      SELECT p.event_type, p.b, p.event_id, p.value,
+             abs((c.px - c.nx) * (p.c - c.py)
+                 - (c.px - p.xr) * (c.ny - c.py)) AS area
       FROM pts p JOIN ctx c USING (event_type, b)
       WHERE c.px IS NOT NULL AND c.nx IS NOT NULL
     )
     SELECT event_type, b AS bucket, event_id,
-           ROUND(y, 4) AS y, CAST(area AS BIGINT) AS area
+           ROUND(CAST(value AS DOUBLE), 4) AS y,
+           CAST(FLOOR(area) AS BIGINT) AS area
     FROM scored
     QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, b
                                ORDER BY area DESC, event_id) = 1
@@ -514,38 +578,54 @@ def timeseries_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFram
     production keeps raw endpoints. Plan: one bucket aggregation, a
     days-bounded lag/lead per type, broadcast back onto the points,
     and a per-(type, bucket) top-1 window — all partitions plentiful."""
+    # FIXED-POINT spelling (r11 sf10 rewrite): the double bucket AVGs
+    # carried ~1e-2 fold-order noise in the anchors at sf10 bucket
+    # sizes — enough to flip integer-rounded areas across .5 and pick
+    # different points per engine. Bucket-relative int64 micros and
+    # int64 cents sum EXACTLY (15k-point buckets: 1.3e15 << 2^63), so
+    # the anchors and areas are the same IEEE ops on the same integers
+    # on both engines — bit-equal, argmax deterministic with no
+    # rounding guard. Area is in micros*cents units.
+    day_us = 86_400_000_000
+    xm = F.unix_micros(F.col("ts"))
     pts = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
             "event_id",
             "event_type",
-            F.col("ts").cast("double").alias("x"),
-            F.col("value").cast("double").alias("y"),
+            "value",
+            xm.alias("xm"),
         )
-        .withColumn("b", F.floor(F.col("x") / 86400).cast("long"))
+        .withColumn("b", F.expr(f"xm div {day_us}"))
+        .withColumn("xr", (F.col("xm") - F.col("b") * day_us).cast("long"))
+        .withColumn("c", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .drop("xm")
     )
     bkt = pts.groupBy("event_type", "b").agg(
-        F.avg("x").alias("bx"), F.avg("y").alias("by_")
+        F.sum("xr").alias("sxr"), F.sum("c").alias("sc"), F.count("*").alias("n")
     )
     wb = Window.partitionBy("event_type").orderBy("b")
     ctx = bkt.select(
         "event_type",
         "b",
-        F.lag("bx").over(wb).alias("px"),
-        F.lag("by_").over(wb).alias("py"),
-        F.lead("bx").over(wb).alias("nx"),
-        F.lead("by_").over(wb).alias("ny"),
+        (
+            F.lag("sxr").over(wb).cast("double") / F.lag("n").over(wb)
+            + (F.lag("b").over(wb) - F.col("b")) * float(day_us)
+        ).alias("px"),
+        (F.lag("sc").over(wb).cast("double") / F.lag("n").over(wb)).alias("py"),
+        (
+            F.lead("sxr").over(wb).cast("double") / F.lead("n").over(wb)
+            + (F.lead("b").over(wb) - F.col("b")) * float(day_us)
+        ).alias("nx"),
+        (F.lead("sc").over(wb).cast("double") / F.lead("n").over(wb)).alias("ny"),
     ).filter(F.col("px").isNotNull() & F.col("nx").isNotNull())
-    area = dround(
-        F.abs(
-            (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
-            - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
-        ),
-        0,
+    area = F.abs(
+        (F.col("px") - F.col("nx")) * (F.col("c") - F.col("py"))
+        - (F.col("px") - F.col("xr")) * (F.col("ny") - F.col("py"))
     )
     scored = pts.join(F.broadcast(ctx), ["event_type", "b"]).select(
-        "event_type", "b", "event_id", "y", area.alias("area")
+        "event_type", "b", "event_id", "value", area.alias("area")
     )
     wtop = Window.partitionBy("event_type", "b").orderBy(
         F.desc("area"), F.col("event_id")
@@ -557,8 +637,10 @@ def timeseries_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFram
             "event_type",
             F.col("b").alias("bucket"),
             "event_id",
-            dround(F.col("y"), 4).alias("y"),
-            F.col("area").cast("long").alias("area"),
+            dround(F.col("value").cast("double"), 4).alias("y"),
+            # explicit FLOOR: DuckDB's double->BIGINT cast rounds,
+            # Spark's truncates — FLOOR makes both sides identical
+            F.floor(F.col("area")).cast("long").alias("area"),
         )
         .orderBy("event_type", "bucket")
     )
