@@ -236,7 +236,13 @@ def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = posting.groupBy("h").agg(F.count("*").alias("df")).filter(
         F.col("df") <= DF_CAP
     )
-    kept = posting.join(rare.select("h"), "h")
+    # shuffle-hash hint (r11 sf10 catch): `rare` is CORPUS-SIZED (every
+    # under-cap shingle hash) — Catalyst's size estimate let it be
+    # BROADCAST, which overflowed the 8g driver at sf10 and can never
+    # work at 100 TB. The hint pins a shuffled hash join; AQE still
+    # handles skew on h. (shuffle_hash was tried first: its per-partition
+    # build tables cannot spill and OOM at sf10 — merge sorts and spills.)
+    kept = posting.join(rare.select("h").hint("merge"), "h")
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h")
     # count capped co-occurrences per pair (bounded: each kept shingle
@@ -1258,7 +1264,10 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = posting.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
     b = posting.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h")
     m = (
-        a.join(b, "h")
+        # shuffle-hash hint (r11 sf10 catch): both sides are the
+        # corpus-sized positional posting — never broadcastable; the
+        # estimate-driven broadcast overflowed the driver at sf10
+        a.join(b.hint("merge"), "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("delta"))
     )
