@@ -402,7 +402,15 @@ def main() -> None:
     # committed reference vector so sf1 closes carry round-over-round
     # deltas too. The fast/slow canary verdict stays calibrated (and
     # emitted) for the canonical sf0.1 config only.
-    sf1_config = sf_val == 1.0 and not alt_master and layout == "multifile-32"
+    # exclusive with canonical_config: if SPARK_GRAFT_CANONICAL_SF=1.0
+    # an sf1 run is the CANONICAL config and must normalize against
+    # bench_ref.json, never double-match both branches (r11 ADVICE)
+    sf1_config = (
+        sf_val == 1.0
+        and not canonical_config
+        and not alt_master
+        and layout == "multifile-32"
+    )
     canary_ref = float(os.environ.get("SPARK_GRAFT_CANARY_REF", "0.53"))
     canary_best = float("inf")
     for _ in range(2):

@@ -236,12 +236,13 @@ def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = posting.groupBy("h").agg(F.count("*").alias("df")).filter(
         F.col("df") <= DF_CAP
     )
-    # shuffle-hash hint (r11 sf10 catch): `rare` is CORPUS-SIZED (every
+    # merge-join hint (r11 sf10 catch): `rare` is CORPUS-SIZED (every
     # under-cap shingle hash) — Catalyst's size estimate let it be
     # BROADCAST, which overflowed the 8g driver at sf10 and can never
-    # work at 100 TB. The hint pins a shuffled hash join; AQE still
+    # work at 100 TB. The hint pins a sort-merge join; AQE still
     # handles skew on h. (shuffle_hash was tried first: its per-partition
     # build tables cannot spill and OOM at sf10 — merge sorts and spills.)
+    # Plan-pinned by tests/test_plans.py::test_dfcap_posting_join_pinned_to_sort_merge.
     kept = posting.join(rare.select("h").hint("merge"), "h")
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "h")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "h")
@@ -1264,9 +1265,10 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = posting.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h")
     b = posting.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h")
     m = (
-        # shuffle-hash hint (r11 sf10 catch): both sides are the
+        # merge-join hint (r11 sf10 catch): both sides are the
         # corpus-sized positional posting — never broadcastable; the
-        # estimate-driven broadcast overflowed the driver at sf10
+        # estimate-driven broadcast overflowed the driver at sf10.
+        # Plan-pinned by test_plans.py::test_substring_span_self_join_pinned_to_sort_merge.
         a.join(b.hint("merge"), "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("delta"))
@@ -1891,7 +1893,10 @@ def dedup_semantic_centroid_scaled(spark: SparkSession, sf_dir: str) -> DataFram
         # cosine lambdas below must not re-inline the cast transform
     )
     n = e.count()  # bounded driver scalar — k is a function of it
-    k = max(SEMDEDUP_K_MIN, math.isqrt(n))
+    # floor(sqrt(double)) — the EXACT spelling the oracle uses. NOT
+    # math.isqrt: exact integer sqrt diverges from the double path near
+    # perfect squares once n exceeds ~4e15 (r11 ADVICE spec-mismatch).
+    k = max(SEMDEDUP_K_MIN, int(math.floor(math.sqrt(float(n)))))
     cent = (
         e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(k)  # TakeOrderedAndProject: per-partition top-k, no sort

@@ -5,6 +5,7 @@ filters reached the parquet scan, dims broadcast, codegen fused.
 """
 
 from pwir_zadanie_4_mapreduce_spark.plans.inspect import (  # noqa: F401
+    broadcast_build_outputs,
     explain_str,
     has_broadcast_join,
     has_codegen,

@@ -40,6 +40,35 @@ def has_codegen(df: DataFrame) -> bool:
     return bool(re.search(r"^\s*(?:[+:]-\s*)?\* \w", plan, re.MULTILINE))
 
 
+def _walk_physical(node):
+    name = node.nodeName()
+    if "AdaptiveSparkPlan" in name:
+        # exchanges live inside the AQE wrapper's current plan
+        yield from _walk_physical(node.executedPlan())
+        return
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_physical(children.apply(i))
+
+
+def broadcast_build_outputs(df: DataFrame) -> list[list[str]]:
+    """Output column names of every BroadcastExchange build side in the
+    compile-time physical plan (AQE initial plan — exchanges inserted,
+    no runtime re-plan yet), i.e. what would be collected to the driver
+    and shipped to every executor. Lets tests pin WHICH relations may
+    broadcast (small dims / candidate pairs) and which never may
+    (corpus-sized postings), independent of node numbering."""
+    plan = df._jdf.queryExecution().executedPlan()
+    outs: list[list[str]] = []
+    for node in _walk_physical(plan):
+        if "BroadcastExchange" in node.nodeName():
+            child = node.children().apply(0)
+            attrs = child.output()
+            outs.append([attrs.apply(i).name() for i in range(attrs.size())])
+    return outs
+
+
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column lists actually read by each parquet scan (pruning check)."""
     plan = explain_str(df)

@@ -1173,11 +1173,19 @@ def run_crash_restart_tws_totals(spark: SparkSession, sf_dir: str, out_dir: str)
     # belt-and-braces: confirm no phase-1 process (python or JVM) from
     # the killed group survives before phase 2 reuses the checkpoint
     kill_deadline = time.monotonic() + 30
-    while time.monotonic() < kill_deadline:
+    while True:
         try:
             os.killpg(child.pid, 0)  # group id == child pid (new session)
         except ProcessLookupError:
             break  # whole group gone
+        # never fall through with the group alive: phase 2 would race
+        # the orphan JVM on the shared checkpoint — the exact
+        # CONCURRENT_STREAM_LOG_UPDATE flake this kill exists to stop
+        if time.monotonic() >= kill_deadline:
+            raise RuntimeError(
+                "phase-1 process group survived SIGKILL for 30s; "
+                "refusing to start phase 2 against a live checkpoint"
+            )
         time.sleep(0.05)
     # a commit can land in the instant between the listing above and
     # the SIGKILL — the post-kill listing bounds the true count

@@ -589,6 +589,42 @@ def test_semantic_centroid_assignment_is_exchange_free(spark):
     assert plan.count("Arguments: hashpartitioning") <= 3, plan[:2000]
 
 
+def test_dfcap_posting_join_pinned_to_sort_merge(spark):
+    """r11's key 100 TB fix (dedup.py:245): the under-cap posting join
+    must stay SortMergeJoin. `rare` is a corpus-sized post-aggregate
+    whose Catalyst row estimate stays tiny forever, so without the
+    explicit merge hint Catalyst BROADCASTS it (8 GB driver overflow at
+    sf10; impossible at 100 TB). The rare side projects to the bare
+    shingle-hash column, so the pin is: no BroadcastExchange build side
+    may output exactly ["h"]. Dropping the hint recreates that exchange
+    even at smoke scale (verified) and fails here. Downstream broadcasts
+    of the bounded candidate-pair / stop-count relations stay legal."""
+    from pwir_zadanie_4_mapreduce_spark.operators.dedup import (
+        dedup_ngram_jaccard_dfcap,
+    )
+    from pwir_zadanie_4_mapreduce_spark.plans import broadcast_build_outputs
+
+    df = dedup_ngram_jaccard_dfcap(spark, SMOKE_SF)
+    builds = broadcast_build_outputs(df)
+    assert ["h"] not in builds, (
+        f"corpus-sized under-cap posting is being broadcast: {builds}"
+    )
+    assert "SortMergeJoin" in explain_str(df), "merge pin lost entirely"
+
+
+def test_substring_span_self_join_pinned_to_sort_merge(spark):
+    """r11's second merge pin (dedup.py:1270): the positional-posting
+    self-join has corpus-sized relations on BOTH sides — nothing in
+    this plan may ever broadcast. Dropping the hint turns the self-join
+    into a BroadcastHashJoin at smoke scale (verified) and fails here."""
+    from pwir_zadanie_4_mapreduce_spark.operators.dedup import dedup_substring_span
+
+    plan = explain_str(dedup_substring_span(spark, SMOKE_SF))
+    assert "SortMergeJoin" in plan, plan[:2000]
+    for bad in ("BroadcastHashJoin", "BroadcastNestedLoopJoin", "Cartesian"):
+        assert bad not in plan, f"substring-span plan contains {bad}"
+
+
 def test_gopher_rules_single_scan_single_agg(spark):
     """quality_gopher_rules: N rules = ONE corpus scan + one hash agg
     on source (plan width, not pass count) — the quality_expectations

@@ -115,6 +115,8 @@ def test_rp_lsh_planted_recall(spark, planted, op, hits9, hits95, out_pairs):
     assert sum(1 for p in truth9 if p in found9) == hits9
     assert sum(1 for p in truth95 if p in found9) == hits95
     # wide must never trail the 16-bit config on planted recall while
-    # letting through at most as many sub-0.9 random collisions
+    # letting through at most as many sub-0.9 random collisions —
+    # asserted on the MEASURED recall, not the parametrized literal
+    # (the r11 spelling compared two constants; ADVICE catch)
     if op == "dedup_embedding_rp_lsh_wide":
-        assert hits9 == len(truth9)
+        assert sum(1 for p in truth9 if p in found9) == len(truth9)
