@@ -28,11 +28,17 @@ into:
                   sf0.1 instead of every doc gaining `factor` twins
                   (which would quadratically inflate dedup candidate
                   volume and fake a superlinear slope);
-                - embeddings: vec_id remapped, vector coordinates
-                  ROTATED by rep positions — an orthogonal transform,
-                  so within-replica geometry (norms, cosines, kNN
-                  structure) is preserved exactly while cross-replica
-                  vectors decorrelate.
+                - embeddings: vec_id remapped, each replica mapped by
+                  an md5-seeded SIGNED PERMUTATION of the coordinates
+                  — an exactly orthogonal transform, so within-replica
+                  geometry (norms, cosines, kNN structure) is preserved
+                  bit-for-bit as a multiset while cross-replica cosines
+                  fall to O(1/sqrt(dim)). (r11 used rotation-by-rep,
+                  which is DEGENERATE at factor >= dim: reps congruent
+                  mod dim replicate vectors verbatim, creating
+                  cosine-1.0 100-cliques that gave every pairwise
+                  embedding op quadratic output at sf10 — r11 verdict
+                  "What's missing #3".)
 
 Outputs land under the repo's .fixtures/ (gitignored). Never writes
 to /root/testdata.
@@ -124,8 +130,45 @@ def _stride(spark: SparkSession, src: str, name: str, key: str) -> int:
     return s
 
 
+def _md5_bytes(tag: str):
+    """Endless deterministic byte stream — md5(tag:counter) blocks.
+    Self-contained so rebuilds are bit-identical on any Python."""
+    import hashlib
+    import itertools
+
+    for i in itertools.count():
+        yield from hashlib.md5(f"{tag}:{i}".encode()).digest()
+
+
+def _rep_transforms(factor: int, dim: int) -> tuple[list[list[int]], list[list[float]]]:
+    """Per-replica signed permutation (rep 0 = identity). Fisher-Yates
+    over an md5 byte stream; two bytes per draw keep the modulo bias
+    below 2^-9 at dim<=256 (and bias only affects WHICH orthogonal
+    transform we get, never its orthogonality)."""
+    perms: list[list[int]] = []
+    signs: list[list[float]] = []
+    for rep in range(factor):
+        if rep == 0:
+            perms.append(list(range(dim)))
+            signs.append([1.0] * dim)
+            continue
+        bs = _md5_bytes(f"emb-signedperm-{rep}")
+        perm = list(range(dim))
+        for j in range(dim - 1, 0, -1):
+            r = ((next(bs) << 8) | next(bs)) % (j + 1)
+            perm[j], perm[r] = perm[r], perm[j]
+        perms.append(perm)
+        signs.append([1.0 if next(bs) & 1 else -1.0 for _ in range(dim)])
+    return perms, signs
+
+
 def scaleup(
-    spark: SparkSession, src: str, dst: str, factor: int = 10, files: int = 32
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    factor: int = 10,
+    files: int = 32,
+    only: set[str] | None = None,
 ) -> None:
     strides = {
         "customer": _stride(spark, src, "customer", "c_custkey"),
@@ -146,7 +189,12 @@ def scaleup(
     def shift(col: str, stride: int):
         return (F.col(col) + F.col("rep").cast("long") * stride).alias(col)
 
+    def want(name: str) -> bool:
+        return only is None or name in only
+
     for name in ("region", "nation", "supplier"):
+        if not want(name):
+            continue
         df = load_table(spark, src, name)
         if name == "supplier":
             df = reps(df).select(
@@ -158,80 +206,91 @@ def scaleup(
         _write(df, os.path.join(dst, f"{name}.parquet"), 1)
         print(f"  {name}: done")
 
-    df = reps(load_table(spark, src, "customer")).select(
-        shift("c_custkey", strides["customer"]),
-        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
-    )
-    _write(df, os.path.join(dst, "customer.parquet"), files, "c_custkey")
-    print("  customer: done")
+    if want("customer"):
+        df = reps(load_table(spark, src, "customer")).select(
+            shift("c_custkey", strides["customer"]),
+            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        )
+        _write(df, os.path.join(dst, "customer.parquet"), files, "c_custkey")
+        print("  customer: done")
 
-    df = reps(load_table(spark, src, "part")).select(
-        shift("p_partkey", strides["part"]),
-        "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
-    )
-    _write(df, os.path.join(dst, "part.parquet"), files, "p_partkey")
-    print("  part: done")
+    if want("part"):
+        df = reps(load_table(spark, src, "part")).select(
+            shift("p_partkey", strides["part"]),
+            "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+        )
+        _write(df, os.path.join(dst, "part.parquet"), files, "p_partkey")
+        print("  part: done")
 
-    df = reps(load_table(spark, src, "orders")).select(
-        shift("o_orderkey", strides["orders"]),
-        shift("o_custkey", strides["customer"]),
-        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
-    )
-    _write(df, os.path.join(dst, "orders.parquet"), files, "o_orderkey")
-    print("  orders: done")
+    if want("orders"):
+        df = reps(load_table(spark, src, "orders")).select(
+            shift("o_orderkey", strides["orders"]),
+            shift("o_custkey", strides["customer"]),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+        _write(df, os.path.join(dst, "orders.parquet"), files, "o_orderkey")
+        print("  orders: done")
 
-    df = reps(load_table(spark, src, "lineitem")).select(
-        shift("l_orderkey", strides["orders"]),
-        shift("l_partkey", strides["part"]),
-        shift("l_suppkey", strides["supplier"]),
-        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
-        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
-    )
-    _write(df, os.path.join(dst, "lineitem.parquet"), files, ["l_orderkey", "l_linenumber"])
-    print("  lineitem: done")
+    if want("lineitem"):
+        df = reps(load_table(spark, src, "lineitem")).select(
+            shift("l_orderkey", strides["orders"]),
+            shift("l_partkey", strides["part"]),
+            shift("l_suppkey", strides["supplier"]),
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        )
+        _write(df, os.path.join(dst, "lineitem.parquet"), files, ["l_orderkey", "l_linenumber"])
+        print("  lineitem: done")
 
-    df = reps(load_table(spark, src, "events")).select(
-        shift("event_id", strides["events"]),
-        (F.col("ts") + F.make_interval(secs=F.col("rep").cast("double"))).alias("ts"),
-        shift("user_id", strides["events_user"]),
-        "event_type", "value", "props",
-    )
-    _write(df, os.path.join(dst, "events.parquet"), files, "event_id")
-    print("  events: done")
+    if want("events"):
+        df = reps(load_table(spark, src, "events")).select(
+            shift("event_id", strides["events"]),
+            (F.col("ts") + F.make_interval(secs=F.col("rep").cast("double"))).alias("ts"),
+            shift("user_id", strides["events_user"]),
+            "event_type", "value", "props",
+        )
+        _write(df, os.path.join(dst, "events.parquet"), files, "event_id")
+        print("  events: done")
 
-    df = reps(load_table(spark, src, "documents")).select(
-        shift("doc_id", strides["documents"]),
-        F.when(F.col("rep") == 0, F.col("text"))
-        .otherwise(
-            F.regexp_replace(
-                F.col("text"),
-                F.lit(r"(\S+)"),
-                F.concat(F.lit(r"$1_r"), F.col("rep").cast("string")),
+    if want("documents"):
+        df = reps(load_table(spark, src, "documents")).select(
+            shift("doc_id", strides["documents"]),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit(r"$1_r"), F.col("rep").cast("string")),
+                )
             )
+            .alias("text"),
+            "lang", "source", "n_chars",
         )
-        .alias("text"),
-        "lang", "source", "n_chars",
-    )
-    # n_chars drifts from len(text) for rep>0; recompute to stay honest
-    df = df.withColumn("n_chars", F.length("text").cast("long"))
-    _write(df, os.path.join(dst, "documents.parquet"), files, "doc_id")
-    print("  documents: done")
+        # n_chars drifts from len(text) for rep>0; recompute to stay honest
+        df = df.withColumn("n_chars", F.length("text").cast("long"))
+        _write(df, os.path.join(dst, "documents.parquet"), files, "doc_id")
+        print("  documents: done")
 
-    emb = load_table(spark, src, "embeddings")
-    dim = emb.select(F.size("embedding")).first()[0]
-    rot = F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
-        F.concat(
-            F.slice("embedding", (F.col("rep") % dim) + 1, F.lit(dim)),
-            F.slice("embedding", 1, F.col("rep") % dim),
+    if want("embeddings"):
+        emb = load_table(spark, src, "embeddings")
+        dim = emb.select(F.size("embedding")).first()[0]
+        perms, sgns = _rep_transforms(factor, dim)
+        tmap = spark.createDataFrame(
+            [(r, perms[r], sgns[r]) for r in range(factor)],
+            "rep int, perm array<int>, sgn array<float>",
         )
-    )
-    df = reps(emb).select(
-        shift("vec_id", strides["embeddings"]),
-        rot.cast("array<float>").alias("embedding"),
-        "label",
-    )
-    _write(df, os.path.join(dst, "embeddings.parquet"), files, "vec_id")
-    print("  embeddings: done")
+        # signed permutation: F.get (0-based, Column index) over a plain
+        # column reference, so the higher-order lambda re-evaluates only
+        # an attribute — no per-element recompute blowup
+        df = reps(emb).join(F.broadcast(tmap), "rep").select(
+            shift("vec_id", strides["embeddings"]),
+            F.zip_with(
+                "perm", "sgn", lambda p, s: F.get("embedding", p) * s
+            ).cast("array<float>").alias("embedding"),
+            "label",
+        )
+        _write(df, os.path.join(dst, "embeddings.parquet"), files, "vec_id")
+        print("  embeddings: done")
 
 
 def main() -> None:
@@ -246,6 +305,10 @@ def main() -> None:
     su.add_argument("dst")
     su.add_argument("--factor", type=int, default=10)
     su.add_argument("--files", type=int, default=32)
+    su.add_argument(
+        "--tables",
+        help="comma-separated subset to (re)build, e.g. 'embeddings'",
+    )
     args = p.parse_args()
 
     from pwir_zadanie_4_mapreduce_spark.session import build_session
@@ -258,7 +321,8 @@ def main() -> None:
     if args.cmd == "multifile":
         multifile(spark, args.src, dst, args.files)
     else:
-        scaleup(spark, args.src, dst, args.factor, args.files)
+        only = set(args.tables.split(",")) if args.tables else None
+        scaleup(spark, args.src, dst, args.factor, args.files, only)
     spark.stop()
 
 
