@@ -1693,34 +1693,79 @@ def dedup_semantic_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RP_WIDE_PLANES = 64  # production-width signature
-RP_WIDE_BANDS = 8  # 8 bands x 8 bits
-_RP_WIDE_BITS = RP_WIDE_PLANES // RP_WIDE_BANDS
+RP_WIDE_MAX_BITS = 16  # per-band hyperplane stash (band k owns planes k*16+j)
+RP_WIDE_TARGET_BUCKET = 32  # expected band-bucket occupancy the width maintains
+RP_WIDE_RECALL_TAU = 0.9  # production near-dup regime the band count protects
+# bit-agreement probability at cosine tau: 1 - theta/pi (Charikar 2002)
+_RP_A_TAU = 1.0 - math.acos(RP_WIDE_RECALL_TAU) / math.pi
+_LN10 = 2.302585092994046  # -ln(0.1): caps per-pair miss probability at 10 %
+# bands at the maximum width — the oracle enumerates this many branches
+RP_WIDE_MAX_BANDS = math.ceil(_LN10 / _RP_A_TAU**RP_WIDE_MAX_BITS)
 
 
-def _rp_wide_model() -> list[list[float]]:
+def _rp_wide_cfg(n: int) -> tuple[int, int]:
+    """(bits, bands) for a corpus of n vectors.
+
+    Fixed-width banding is structurally quadratic: a random pair
+    collides in a b-bit band with constant probability, so candidates
+    grow as C(n,2)*bands/2^b — measured 7.5e8 at sf10 for the old
+    fixed 8x8 config (2048 buckets total, every one full; the Spark
+    side OOMed an 8g heap and DuckDB could never verify them). Width
+    must grow with log n to hold bucket occupancy constant:
+
+      bits  = clamp(ceil(log2(n / TARGET_BUCKET)), 8, MAX_BITS)
+      bands = ceil(ln 10 / a^bits),  a = bit-agreement at tau=0.9
+
+    which keeps expected candidates ~n*bucket/2 per band (linear in n
+    until bits saturates at MAX_BITS) and recall >= 90 % at the
+    tau=0.9 near-dup regime. At n <= 8192 this reduces to exactly the
+    historical 8 bands x 8 bits. Both formulas are spelled identically
+    in the DuckDB oracle (LOG2/POWER/CEIL on the same IEEE doubles) —
+    the scaled-SemDeDup k=floor(sqrt(n)) convention."""
+    bits = 8 if n <= 0 else max(
+        8,
+        min(RP_WIDE_MAX_BITS, math.ceil(math.log2(n / float(RP_WIDE_TARGET_BUCKET)))),
+    )
+    bands = math.ceil(_LN10 / _RP_A_TAU**bits)
+    return bits, bands
+
+
+def _rp_wide_plane(k: int, j: int) -> list[float]:
+    """Hyperplane for bit j of band k. Width-independent AND
+    backward-compatible: the historical 8x8 config (bands 0-7, bits
+    0-7) keeps its exact r11 planes 0..63 — so every n<=8192 output,
+    the planted-recall pins, and the committed small-sf hashes are
+    unchanged — while widening draws NEW planes from disjoint regions
+    (64.. for extra bits of the first 8 bands, 128.. for extra bands,
+    16 per band). A given (band, bit) never re-derives as the config
+    grows."""
     from pwir_zadanie_4_mapreduce_spark.operators.similarity import _hyperplane
 
-    return [_hyperplane(p) for p in range(RP_WIDE_PLANES)]
+    if k < 8 and j < 8:
+        return _hyperplane(k * 8 + j)  # the r11 8x8 plane set, verbatim
+    if k < 8:
+        return _hyperplane(64 + k * 8 + (j - 8))
+    return _hyperplane(128 + (k - 8) * RP_WIDE_MAX_BITS + j)
 
 
-def _rp_wide_band_spark(k: int) -> str:
-    """Spark-SQL expression for band k's 8-bit value (0..255) — per-band
-    integers sidestep the 1<<63 overflow a single 64-bit signature hits."""
+def _rp_wide_band_spark(k: int, bits: int) -> str:
+    """Spark-SQL expression for band k's bits-wide value — per-band
+    integers sidestep the 1<<63 overflow a single wide signature hits."""
     from pwir_zadanie_4_mapreduce_spark.operators.similarity import _sql_fold_dot
 
-    model = _rp_wide_model()
     return " + ".join(
-        f"IF({_sql_fold_dot('v', model[k * _RP_WIDE_BITS + j])} >= 0, {1 << j}L, 0L)"
-        for j in range(_RP_WIDE_BITS)
+        f"IF({_sql_fold_dot('v', _rp_wide_plane(k, j))} >= 0, {1 << j}L, 0L)"
+        for j in range(bits)
     )
 
 
 def _rp_wide_band_duck(k: int) -> str:
-    model = _rp_wide_model()
+    """DuckDB band value at FULL width; the caller masks it down to the
+    data-derived width with `& ((1<<bits)-1)` — the low `bits` bits of
+    the 16-bit value equal the bits-wide sum exactly."""
     terms = []
-    for j in range(_RP_WIDE_BITS):
-        lits = ", ".join(repr(h) for h in model[k * _RP_WIDE_BITS + j])
+    for j in range(RP_WIDE_MAX_BITS):
+        lits = ", ".join(repr(h) for h in _rp_wide_plane(k, j))
         terms.append(
             f"CASE WHEN list_sum(list_transform(list_zip(v, [{lits}]),"
             f" z -> z[1] * z[2])) >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
@@ -1730,8 +1775,10 @@ def _rp_wide_band_duck(k: int) -> str:
 
 def _rp_wide_oracle() -> str:
     bands = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {k} AS k, {_rp_wide_band_duck(k)} AS bv FROM e"
-        for k in range(RP_WIDE_BANDS)
+        f"SELECT vec_id, {k} AS k,"
+        f" ({_rp_wide_band_duck(k)}) & ((CAST(1 AS BIGINT) << bits) - 1) AS bv"
+        f" FROM e CROSS JOIN cfg WHERE {k} < bands"
+        for k in range(RP_WIDE_MAX_BANDS)
     )
     return f"""
     WITH e AS (
@@ -1739,6 +1786,12 @@ def _rp_wide_oracle() -> str:
                sqrt(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         FROM embeddings),
+    cfg AS (
+        SELECT bits,
+               CAST(CEIL({_LN10!r} / POWER({_RP_A_TAU!r}, bits)) AS BIGINT) AS bands
+        FROM (SELECT GREATEST(8, LEAST({RP_WIDE_MAX_BITS},
+                 CAST(CEIL(LOG2(COUNT(*) / {float(RP_WIDE_TARGET_BUCKET)!r})) AS BIGINT)))
+                 AS bits FROM e)),
     bands AS ({bands}),
     cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
              FROM bands a JOIN bands b
@@ -1755,47 +1808,59 @@ def _rp_wide_oracle() -> str:
 
 @register("dedup_embedding_rp_lsh_wide", oracle=_rp_wide_oracle())
 def dedup_embedding_rp_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION-width RP-LSH configuration the 16-bit op's
-    docstring promises: 64 sign bits in 8 bands of 8. Candidate volume
-    is the banding trade made executable — a random pair collides in
-    an 8-bit band with p = agreement^8, so random collisions drop from
-    ~23 % of all pairs (16-bit config, measured at sf0.01) to ~3 %,
-    which is exactly what keeps the verify join affordable when the
-    corpus grows 100×: at sf1 the 16-bit op pays 23.5 s of bench time
-    almost entirely in candidate cosines; this config prunes ~an order
-    of magnitude harder. The price is recall at LOW thresholds — at the
-    fixture's hard τ=0.4 regime (bit-agreement 0.63) recall is ~18 %,
-    while at a production near-dup τ≈0.9 it is MEASURED at 120/120 on
-    a planted-pair fixture (cosines 0.902-0.985, md5-deterministic),
-    with only 2 random sub-0.9 pairs passing the bands vs the 16-bit
-    config's 11 — tests/test_rp_recall.py pins the full recall table;
-    bands × bits is the declared tuning surface and this op IS the
-    other end of the trade.
+    """The PRODUCTION RP-LSH configuration the 16-bit op's docstring
+    promises — now with DATA-DERIVED width (r12): bits-per-band =
+    clamp(ceil(log2(n/32)), 8, 16) holds expected bucket occupancy at
+    ~32 vectors as the corpus grows, and bands = ceil(ln10 / a^bits)
+    (a = bit-agreement at cosine 0.9) holds recall >= 90 % at the
+    tau=0.9 near-dup regime. At fixture scale (n <= 8192) this is
+    exactly the historical 8 bands x 8 bits; at sf10 it is 18 bands x
+    13 bits. The r12 sf10 sweep measured WHY fixed width cannot ship:
+    8-bit bands at n=200k put 200k vectors in 256 buckets per band —
+    7.5e8 candidate pairs, OOMing the Spark side and unverifiable in
+    any engine; candidates under fixed width grow as C(n,2)*bands/2^b
+    no matter how good the fixture is. Width-vs-n is the same
+    data-derived scale knob as dedup_semantic_centroid_scaled's
+    k=floor(sqrt(n)).
 
-    Plan shape is identical to dedup_embedding_rp_lsh: one fused
-    projection computes all 8 band values (64 literal-vector dots in
-    codegen), the band join ships (k, bv, vec_id) only, the exact
-    verify touches candidates alone. Full-mirror oracle: DuckDB
-    recomputes the same md5-derived hyperplanes, band values, candidate
-    join and verify on fold-ordered doubles — the surviving pair set
-    hash-matches."""
+    Recall at LOW thresholds remains the declared trade (at the
+    fixture's hard tau=0.4 regime bit-agreement is 0.63 and recall
+    ~18 %); at tau>=0.9 it is MEASURED on a planted-pair fixture
+    (cosines 0.902-0.985, md5-deterministic) — tests/test_rp_recall.py
+    pins the full recall table; bands x bits is the tuning surface and
+    this op IS the production end of the trade.
+
+    Plan shape: one fused projection computes all band values (bands x
+    bits literal-vector dots in codegen), the band self-join ships
+    (k, bv, vec_id) only and is PINNED sort-merge (the bands relation
+    is corpus-sized — the r11 estimate-driven-broadcast class), the
+    exact verify touches candidates alone with both array-carrying
+    corpus sides pinned sort-merge too. Full-mirror oracle: DuckDB
+    derives the same width from COUNT(*), recomputes the md5-derived
+    hyperplanes, band values (computed at max width and masked with
+    & (2^bits - 1)), candidate join and verify on fold-ordered
+    doubles — the surviving pair set hash-matches."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    n = e.count()  # bounded driver scalar — width is a function of it
+    bits, bands = _rp_wide_cfg(n)
     sig = e.select(
         "vec_id",
         "v",
         l2_norm(F.col("v")).alias("nrm"),
         F.array(
-            *[F.expr(_rp_wide_band_spark(k)) for k in range(RP_WIDE_BANDS)]
+            *[F.expr(_rp_wide_band_spark(k, bits)) for k in range(bands)]
         ).alias("bvs"),
     ).transform(cut_lineage)
-    bands = sig.select("vec_id", F.posexplode("bvs").alias("k", "bv"))
+    band_rows = sig.select("vec_id", F.posexplode("bvs").alias("k", "bv"))
     cand = (
-        bands.alias("a")
+        band_rows.alias("a")
         .join(
-            bands.alias("b"),
+            # merge pin: band_rows is corpus-sized (n x bands); the
+            # post-explode estimate must never drive a broadcast
+            band_rows.alias("b").hint("merge"),
             (F.col("a.k") == F.col("b.k"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -1807,8 +1872,10 @@ def dedup_embedding_rp_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = sig.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.join(x, "vec_a")
-        .join(y, "vec_b")
+        # merge pins: x/y carry the 64-double corpus arrays — never
+        # broadcast-sized, whatever the estimates say
+        cand.join(x.hint("merge"), "vec_a")
+        .join(y.hint("merge"), "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", dround("cosine", 4).alias("cosine"))

@@ -126,7 +126,11 @@ def main(argv: list[str]) -> int:
     duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
     if duck_mem:
         con.sql(f"SET memory_limit='{duck_mem}'")
-        con.sql("SET temp_directory='/tmp/duckdb_spill'")
+        # per-process spill dir: concurrent sharded workers sharing one
+        # temp_directory clobber each other's spill files (r12: an sf1
+        # dfcap oracle died with 'Could not read enough bytes' when a
+        # sibling shard recycled the shared temp file)
+        con.sql(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         # driver fixtures are single files; the .fixtures scale-ups
         # (sf1) are Spark-written DIRECTORIES of part files — DuckDB
