@@ -1612,14 +1612,22 @@ _SEM_COS_AB = (
         FROM embeddings),
     cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
              FROM e ORDER BY vec_id LIMIT {SEMDEDUP_K}),
-    assigned AS (
-        SELECT e.vec_id, e.v, e.nrm, c.centroid_id
+    amax AS (
+        -- streaming arg_max mirrors Spark's max_by((ccos, -id)) struct
+        -- tie-break exactly (both lexicographic); the r11 QUALIFY
+        -- ROW_NUMBER spelling sorted the n x k array-carrying cross
+        -- join (~9e7 wide rows at sf10) and spilled >78 GB — the agg
+        -- keeps only n group states
+        SELECT e.vec_id,
+               -(MAX(struct_pack(
+                     c := list_sum(list_transform(list_zip(e.v, c.cv),
+                              z -> z[1] * z[2])) / (e.nrm * c.cn),
+                     nid := -c.centroid_id))).nid AS centroid_id
         FROM e CROSS JOIN cent c
-        QUALIFY ROW_NUMBER() OVER (
-            PARTITION BY e.vec_id
-            ORDER BY list_sum(list_transform(list_zip(e.v, c.cv),
-                         z -> z[1] * z[2])) / (e.nrm * c.cn) DESC,
-                     c.centroid_id) = 1),
+        GROUP BY e.vec_id),
+    assigned AS (
+        SELECT e.vec_id, e.v, e.nrm, a.centroid_id
+        FROM e JOIN amax a USING (vec_id)),
     pairs AS (
         SELECT b.vec_id, b.centroid_id, a.vec_id AS dup_of,
                {_SEM_COS_AB} AS cosine
@@ -1901,14 +1909,22 @@ SEMDEDUP_K_MIN = 16  # floor so tiny fixtures keep a multi-cluster plan
         FROM e CROSS JOIN kk
         QUALIFY ROW_NUMBER() OVER (
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= kk.k),
-    assigned AS (
-        SELECT e.vec_id, e.v, e.nrm, c.centroid_id
+    amax AS (
+        -- streaming arg_max mirrors Spark's max_by((ccos, -id)) struct
+        -- tie-break exactly (both lexicographic); the r11 QUALIFY
+        -- ROW_NUMBER spelling sorted the n x k array-carrying cross
+        -- join (~9e7 wide rows at sf10) and spilled >78 GB — the agg
+        -- keeps only n group states
+        SELECT e.vec_id,
+               -(MAX(struct_pack(
+                     c := list_sum(list_transform(list_zip(e.v, c.cv),
+                              z -> z[1] * z[2])) / (e.nrm * c.cn),
+                     nid := -c.centroid_id))).nid AS centroid_id
         FROM e CROSS JOIN cent c
-        QUALIFY ROW_NUMBER() OVER (
-            PARTITION BY e.vec_id
-            ORDER BY list_sum(list_transform(list_zip(e.v, c.cv),
-                         z -> z[1] * z[2])) / (e.nrm * c.cn) DESC,
-                     c.centroid_id) = 1),
+        GROUP BY e.vec_id),
+    assigned AS (
+        SELECT e.vec_id, e.v, e.nrm, a.centroid_id
+        FROM e JOIN amax a USING (vec_id)),
     pairs AS (
         SELECT b.vec_id, b.centroid_id, a.vec_id AS dup_of,
                {_SEM_COS_AB} AS cosine

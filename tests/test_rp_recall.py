@@ -19,7 +19,14 @@ below are exact pins, not bounds:
 
   config                      bands×bits  recall@0.9  recall@0.95  out pairs
   dedup_embedding_rp_lsh         4×4      119/120     51/51        131
-  dedup_embedding_rp_lsh_wide    8×8      120/120     51/51        122
+  dedup_embedding_rp_lsh_wide    8×8*     120/120     51/51        122
+
+  (*) the wide op's width is data-derived since r12 — bits =
+  clamp(ceil(log2(n/32)), 8, 16), bands = ceil(ln10/a^bits) — and at
+  this fixture's n=320 that reduces to exactly the historical 8×8
+  with the same r11 plane set, so these pins are unchanged; the
+  width growth itself is pinned by _rp_wide_cfg's sf10 evidence
+  (FULLCHECK_r12 sf10: 13 bits × 18 bands, hash-verified).
 
 The out-pairs column doubles as the precision story: the 16-bit
 config lets 11 random (cos in [0.4, 0.9)) pairs through its bands,
