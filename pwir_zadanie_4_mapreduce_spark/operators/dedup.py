@@ -1767,27 +1767,21 @@ def _rp_wide_band_spark(k: int, bits: int) -> str:
     )
 
 
-def _rp_wide_band_duck(k: int) -> str:
-    """DuckDB band value at FULL width; the caller masks it down to the
-    data-derived width with `& ((1<<bits)-1)` — the low `bits` bits of
-    the 16-bit value equal the bits-wide sum exactly."""
-    terms = []
-    for j in range(RP_WIDE_MAX_BITS):
-        lits = ", ".join(repr(h) for h in _rp_wide_plane(k, j))
-        terms.append(
-            f"CASE WHEN list_sum(list_transform(list_zip(v, [{lits}]),"
-            f" z -> z[1] * z[2])) >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
-        )
-    return " + ".join(terms)
-
-
 def _rp_wide_oracle() -> str:
-    bands = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {k} AS k,"
-        f" ({_rp_wide_band_duck(k)}) & ((CAST(1 AS BIGINT) << bits) - 1) AS bv"
-        f" FROM e CROSS JOIN cfg WHERE {k} < bands"
-        for k in range(RP_WIDE_MAX_BANDS)
-    )
+    """Full-mirror oracle with the hyperplane MODEL generated in SQL.
+
+    The first spelling enumerated 28 band branches x 16 literal-vector
+    lambdas (~600 KB of SQL, 448 lambda expressions) and cost ~30 s of
+    DuckDB bind time PER RUN, constant at every sf. Planes are instead
+    derived in-engine from the same md5 formula as
+    similarity._hyperplane — verified bit-equal (('0x'||substr(md5(
+    idx:d),1,15))::BIGINT reproduces Python's int(hexdigest[:15],16)
+    exactly) — so the whole band stage is ONE grouped lambda over a
+    generated (k, j, plane) table, and the width mask is a WHERE, not
+    448 CASE terms. The plane-index CASE mirrors _rp_wide_plane's
+    backward-compatible regions verbatim."""
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import EMB_DIM
+
     return f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -1800,7 +1794,24 @@ def _rp_wide_oracle() -> str:
         FROM (SELECT GREATEST(8, LEAST({RP_WIDE_MAX_BITS},
                  CAST(CEIL(LOG2(COUNT(*) / {float(RP_WIDE_TARGET_BUCKET)!r})) AS BIGINT)))
                  AS bits FROM e)),
-    bands AS ({bands}),
+    planes AS (
+        SELECT k.k, j.j,
+               list_transform(range({EMB_DIM}), d ->
+                   (('0x' || substr(md5(
+                        (CASE WHEN k.k < 8 AND j.j < 8 THEN k.k * 8 + j.j
+                              WHEN k.k < 8 THEN 64 + k.k * 8 + (j.j - 8)
+                              ELSE 128 + (k.k - 8) * {RP_WIDE_MAX_BITS} + j.j END)
+                        || ':' || d), 1, 15))::BIGINT % 2001 - 1000) / 1000.0) AS pl
+        FROM range({RP_WIDE_MAX_BANDS}) k(k) CROSS JOIN range({RP_WIDE_MAX_BITS}) j(j)),
+    bands AS (
+        SELECT e.vec_id, p.k,
+               SUM(CASE WHEN list_sum(list_transform(list_zip(e.v, p.pl),
+                             z -> z[1] * z[2])) >= 0
+                        THEN (CAST(1 AS BIGINT) << p.j)
+                        ELSE CAST(0 AS BIGINT) END) AS bv
+        FROM e CROSS JOIN planes p CROSS JOIN cfg
+        WHERE p.k < cfg.bands AND p.j < cfg.bits
+        GROUP BY e.vec_id, p.k),
     cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
              FROM bands a JOIN bands b
                ON a.k = b.k AND a.bv = b.bv AND a.vec_id < b.vec_id)
