@@ -96,6 +96,78 @@ def _kind(dtype, series=None) -> str:
     return "object"
 
 
+def _digest_compare(spark_df, con, oracle_sql: str) -> dict:
+    """In-engine order-insensitive compare for outputs too large to
+    collect (r12: scalar_math_lineitem at sf10 is 6e7 rows — the
+    pandas compare is driver-bound far below that, which is exactly
+    the wrong reason to skip verification of a query whose POINT is
+    per-row scale). Both engines compute, per row, md5 over an
+    identically-canonicalized string (columns sorted by name; doubles
+    mapped through the bit-identical FLOOR(x*1e4+0.5) int64; NULL/NaN
+    sentinels), take the first 48 bits as an integer and SUM them
+    exactly (decimal(38) / HUGEINT) together with COUNT(*). Equal
+    (count, sum) pairs == equal row multisets up to md5-sum collision
+    odds (~2^-48 per colliding pair, and nothing adversarial here).
+    The 100 TB story: verification stays a pair of engine-side
+    aggregates; the driver ships 2 numbers, never the rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = sorted(spark_df.columns)
+    s_parts, d_parts = [], []
+    for c in cols:
+        dt = spark_df.schema[c].dataType
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            s_parts.append(
+                f"CASE WHEN `{c}` IS NULL THEN 'N' WHEN isnan(`{c}`) THEN 'NaN' "
+                f"ELSE CAST(CAST(FLOOR(`{c}` * 10000 + 0.5) AS BIGINT) AS STRING) END"
+            )
+            d_parts.append(
+                f'CASE WHEN "{c}" IS NULL THEN \'N\' WHEN isnan("{c}") THEN \'NaN\' '
+                f'ELSE CAST(CAST(FLOOR("{c}" * 10000 + 0.5) AS BIGINT) AS VARCHAR) END'
+            )
+        elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            s_parts.append(f"COALESCE(CAST(`{c}` AS STRING), 'N')")
+            d_parts.append(f'COALESCE(CAST("{c}" AS VARCHAR), \'N\')')
+        elif isinstance(dt, T.StringType):
+            # \x01 control char embedded verbatim in the SQL text —
+            # both engines take it literally (escape SYNTAX differs)
+            s_parts.append(f"COALESCE(`{c}`, '\x01N')")
+            d_parts.append(f'COALESCE("{c}", \'\x01N\')')
+        elif isinstance(dt, T.BooleanType):
+            s_parts.append(f"COALESCE(CAST(CAST(`{c}` AS INT) AS STRING), 'N')")
+            d_parts.append(f'COALESCE(CAST(CAST("{c}" AS INT) AS VARCHAR), \'N\')')
+        elif isinstance(dt, T.DateType):
+            s_parts.append(f"COALESCE(CAST(`{c}` AS STRING), 'N')")
+            d_parts.append(f'COALESCE(strftime("{c}", \'%Y-%m-%d\'), \'N\')')
+        elif isinstance(dt, T.TimestampType):
+            s_parts.append(
+                f"COALESCE(date_format(`{c}`, 'yyyy-MM-dd HH:mm:ss.SSSSSS'), 'N')"
+            )
+            d_parts.append(
+                f'COALESCE(strftime("{c}", \'%Y-%m-%d %H:%M:%S.%f\'), \'N\')'
+            )
+        else:
+            raise TypeError(f"digest mode: unsupported dtype {dt} for column {c}")
+
+    srow = "concat_ws('|', " + ", ".join(s_parts) + ")"
+    agg = spark_df.selectExpr(
+        f"CAST(conv(substr(md5({srow}), 1, 12), 16, 10) AS DECIMAL(38,0)) AS h"
+    ).agg(F.count("*").alias("n"), F.sum("h").alias("s")).first()
+    s_n, s_sum = int(agg["n"]), int(agg["s"] or 0)
+
+    drow = "concat_ws('|', " + ", ".join(d_parts) + ")"
+    d_n, d_sum = con.sql(
+        f"SELECT COUNT(*), COALESCE(SUM(('0x' || substr(md5({drow}), 1, 12))::BIGINT), 0) "
+        f"FROM ({oracle_sql})"
+    ).fetchone()
+    return {
+        "spark": {"rows": s_n, "digest_sum": s_sum},
+        "oracle": {"rows": int(d_n), "digest_sum": int(d_sum)},
+        "match": s_n == int(d_n) and s_sum == int(d_sum),
+    }
+
+
 def main(argv: list[str]) -> int:
     import json
 
@@ -109,6 +181,9 @@ def main(argv: list[str]) -> int:
         i = argv.index("--out")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    digest_mode = "--digest" in argv
+    if digest_mode:
+        argv = [a for a in argv if a != "--digest"]
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -162,6 +237,29 @@ def main(argv: list[str]) -> int:
                 print(f"SKIP {name}: no oracle")
             continue
         t0 = time.monotonic()
+        if digest_mode:
+            try:
+                res = _digest_compare(queries[name](spark, SF_DIR), con, oracles[name])
+            except Exception as exc:  # noqa: BLE001
+                failures.append(name)
+                results[name] = {"status": "fail", "mode": "digest", "err": repr(exc)}
+                print(f"FAIL {name}: exception {exc!r}")
+                continue
+            dt = time.monotonic() - t0
+            if res["match"]:
+                results[name] = {
+                    "status": "pass",
+                    "mode": "digest",
+                    "spark_rows": res["spark"]["rows"],
+                    "oracle_rows": res["oracle"]["rows"],
+                    "digest_sum": str(res["spark"]["digest_sum"]),
+                }
+                print(f"ok   {name} ({dt:.1f}s) [digest, {res['spark']['rows']} rows]")
+            else:
+                failures.append(name)
+                results[name] = {"status": "fail", "mode": "digest", "probs": [str(res)]}
+                print(f"FAIL {name} ({dt:.1f}s): digest mismatch {res}")
+            continue
         try:
             spdf = queries[name](spark, SF_DIR).toPandas()
             ddf = con.sql(oracles[name]).df()
