@@ -36,6 +36,8 @@ HEADLINE = [
     # production skew join (round-6): threshold-detected hot keys only;
     # its manual full-replication sibling above stays as the contrast
     "join_skew_aqe_order_revenue",
+    # round-12: runtime-bloom-filter join (scan-side semi-join pushdown)
+    "join_runtime_bloom_revenue",
     "subquery_scalar_small_qty",
     "agg_grouping_sets",
     "agg_rollup_flags",
@@ -52,6 +54,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_dfcap",
     "dedup_minhash_lsh",
+    # round-12: md5-mirrored estimator-error audit for the banding budget
+    "dedup_minhash_accuracy",
     "dedup_embedding_rp_lsh",
     "dedup_embedding_rp_lsh_wide",
     "dedup_repeated_spans",
@@ -111,6 +115,8 @@ HEADLINE = [
     "pipeline_training_mix",
     "text_redact_denylist",
     "sim_topk_pq",
+    # round-12: composed IVF+PQ serving path (probe prune x byte codes)
+    "sim_topk_ivfpq",
     "text_shingle_novelty",
     "layout_pruning_stats",
     "udf_arrow_batch_map",

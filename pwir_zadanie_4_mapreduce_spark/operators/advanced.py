@@ -604,6 +604,71 @@ def join_salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_PRICE_MIN = 480000.0  # ~top 2-3% of orders — the selective side
+
+
+@register(
+    "join_runtime_bloom_revenue",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > {_BLOOM_PRICE_MIN}
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_runtime_bloom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim fact join — the shape where RUNTIME FILTERING is
+    the 100 TB scan-reduction lever: ~2-3% of orders qualify
+    (o_totalprice > p97), so ~97% of the lineitem shuffle is wasted
+    unless the join key set flows back to the fact scan. Spark's
+    InjectRuntimeFilter does exactly that for shuffle joins: a
+    bloom_filter_agg over the filtered creation side is planted as a
+    might_contain predicate on the application side, discarding
+    non-qualifying fact rows AT THE SCAN, before the exchange —
+    the engine-side equivalent of the semi-join pushdown warehouses
+    hand-roll.
+
+    The op itself is the natural declarative plan (no hints): at toy
+    SF Catalyst broadcasts the filtered orders (broadcast already
+    prunes via the hash relation — bloom would be redundant and Spark
+    correctly skips it); in the shuffle-join regime a 100 TB run
+    lands in, the runtime filter engages.
+    test_runtime_bloom_filter_injected pins that regime explicitly:
+    autoBroadcastJoinThreshold=-1 + bloom thresholds opened ⇒ the
+    optimized plan carries bloom_filter_agg + might_contain on the
+    lineitem side. Revenue uses the fixed-point money convention
+    (integer tenth-of-cent sums, one final division)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _BLOOM_PRICE_MIN)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + F.lit(0.5)
+                    )
+                )
+                / 10000.0
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _SKEW_HOT_THRESHOLD = 7  # fact rows per key ⇒ "hot" (fixture: top ~1/7 of orders)
 
 

@@ -430,6 +430,144 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACC_PERMS = 16  # md5-derived permutations for the estimator audit
+
+
+def _md5_long(col) -> "F.Column":
+    """First 15 hex chars of md5 as a non-negative int64 — the
+    engine-portable hash (DuckDB: ('0x' || substr(md5(x),1,15))
+    ::UBIGINT::BIGINT computes the identical value; the simhash
+    oracle established the equivalence)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _acc_oracle() -> str:
+    sig_cols = ",\n               ".join(
+        f"MIN(('0x' || substr(md5('{q}:' || CAST(h AS VARCHAR)), 1, 15))"
+        f"::UBIGINT::BIGINT) AS p{q}"
+        for q in range(ACC_PERMS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.p{q} = sb.p{q} THEN 1 ELSE 0 END" for q in range(ACC_PERMS)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_WORDS - 1}], ' '))) AS sh
+        FROM documents),
+    p AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM t)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM p GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b, inter::DOUBLE / (sa.n + sb.n - inter) AS jac
+        FROM co JOIN sz sa ON sa.doc_id = doc_a
+                JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}),
+    sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM p GROUP BY doc_id)
+    SELECT pr.doc_a, pr.doc_b,
+           ROUND(pr.jac, 4) AS jaccard,
+           ROUND(({matches}) / {ACC_PERMS}.0, 4) AS est_jaccard,
+           ROUND(ABS(({matches}) / {ACC_PERMS}.0 - pr.jac), 4) AS abs_err
+    FROM pairs pr JOIN sig sa ON sa.doc_id = pr.doc_a
+                  JOIN sig sb ON sb.doc_id = pr.doc_b
+    """
+
+
+@register("dedup_minhash_accuracy", oracle=_acc_oracle())
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-error audit: for every true near-dup pair
+    (exact shingle Jaccard ≥ 0.5), the signature-estimated Jaccard
+    (fraction of agreeing permutations, E[est] = J) next to the exact
+    value and the absolute error. This is the measurement a production
+    pipeline runs BEFORE picking bands×rows: the observed error
+    distribution at the dedup threshold — not the textbook
+    1/sqrt(perms) bound — is what sets the banding false-negative
+    budget (the same measure-don't-derive convention as
+    test_rp_recall's planted-pair sweep, here as a first-class
+    hash-oracled query).
+
+    Unlike dedup_minhash_lsh (xxhash64 signatures — JVM-fast but not
+    oracle-able), the permutations here are md5-derived
+    (min over shingles of md5int(perm || ':' || shingle_hash)), so
+    DuckDB computes the IDENTICAL signatures and the estimates
+    themselves hash-verify — the estimator audit is exact
+    cross-engine, not a statistical claim.
+
+    Plan shape: one posting explode (doc_id, 8-byte h), the count-based
+    co-occurrence join for exact pairs (the dedup_ngram_jaccard plan),
+    one {ACC_PERMS}-column min agg for signatures, and two
+    signature-frame joins that touch only the (few) qualifying pairs.
+    Signature rows are constant-width regardless of document size —
+    the property that makes MinHash THE sketch for corpus-scale dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh_expr = (
+        "array_distinct(transform("
+        f"sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)), "
+        f"i -> array_join(slice(split(text, ' '), i, {SHINGLE_WORDS}), ' ')))"
+    )
+    posting = (
+        docs.select("doc_id", F.explode(F.expr(sh_expr)).alias("s"))
+        .select("doc_id", _md5_long(F.col("s")).alias("h"))
+        .transform(cut_lineage)  # feeds the pair join (twice) + sigs
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = posting.select(F.col("doc_id").alias("doc_a"), "h")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "h")
+    co = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    pairs = (
+        co.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", jac.alias("jac"))
+    )
+    sig = posting.groupBy("doc_id").agg(
+        *[
+            F.min(_md5_long(F.concat(F.lit(f"{q}:"), F.col("h").cast("string")))).alias(
+                f"p{q}"
+            )
+            for q in range(ACC_PERMS)
+        ]
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"p{q}").alias(f"a{q}") for q in range(ACC_PERMS)]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"p{q}").alias(f"b{q}") for q in range(ACC_PERMS)]
+    )
+    matches = F.lit(0)
+    for q in range(ACC_PERMS):
+        matches = matches + F.when(F.col(f"a{q}") == F.col(f"b{q}"), 1).otherwise(0)
+    est = matches / float(ACC_PERMS)
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dround("jac", 4).alias("jaccard"),
+            dround(est, 4).alias("est_jaccard"),
+            dround(F.abs(est - F.col("jac")), 4).alias("abs_err"),
+        )
+    )
+
+
 INCR_LSH_CUTOFF_FRACTION = 0.8  # doc_id below lo+0.8*(hi-lo) = the standing index
 
 

