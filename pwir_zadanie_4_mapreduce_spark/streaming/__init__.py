@@ -14,6 +14,7 @@ from pwir_zadanie_4_mapreduce_spark.streaming.jobs import (  # noqa: F401
     run_sessionization_stream,
     run_sliding_stream,
     run_state_source_inspect,
+    run_stream_ann_assign,
     run_stateful_user_totals,
     run_stream_static_join,
     run_stream_stream_join,

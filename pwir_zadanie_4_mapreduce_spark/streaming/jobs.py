@@ -1301,3 +1301,123 @@ def run_state_source_inspect(spark: SparkSession, sf_dir: str, out_dir: str):
     )
     meta = spark.read.format("state-metadata").load(ck)
     return totals, meta
+
+
+def _embeddings_stream_split(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """readStream over the embeddings fixture split into n
+    vec_id-ordered parquet files, one file per trigger — the arriving
+    vector batches of a streaming index-ingest pipeline (the same
+    deterministic multi-micro-batch device as _events_stream_split;
+    no timestamp surgery needed, embeddings carry none)."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pwir_zadanie_4_mapreduce_spark.catalog import load_table
+
+    tag = hashlib.sha256(
+        f"{table_path(sf_dir, 'embeddings')}:{n_batches}".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(
+        tempfile.gettempdir(), f"pwir_emb_split_{tag}_{os.getpid()}"
+    )
+    marker = os.path.join(d, "_SPLIT_DONE")
+    if not os.path.exists(marker):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        from pyspark.sql.window import Window
+
+        sliced = emb.withColumn(
+            "slice", F.ntile(n_batches).over(Window.orderBy("vec_id"))
+        )
+        for i in range(1, n_batches + 1):
+            part = sliced.filter(F.col("slice") == i).drop("slice")
+            pdir = os.path.join(d, f"slice_{i:02d}")
+            part.coalesce(1).write.mode("overwrite").parquet(pdir)
+            src = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(pdir, src), os.path.join(d, f"{i:02d}.parquet"))
+            os.utime(os.path.join(d, f"{i:02d}.parquet"), (1000000 + i, 1000000 + i))
+        open(marker, "w").close()
+    schema = spark.read.parquet(os.path.join(d, "01.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "*.parquet"))
+    )
+
+
+ANN_STREAM_QUANT = 1000000000.0  # cosine quantized to 1e-9 for order-free sums
+
+
+def run_stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index ingest: arriving vectors are assigned to
+    the FROZEN coarse codebook (sim_topk_ivf's seed convention) and
+    the job maintains per-centroid arrival counts + assignment-quality
+    sums — the monitor an IVF index runs on its write path, deciding
+    when a bucket needs a split/retrain (the streaming sibling of
+    sim_ann_incremental_assign's batch drift report; at 100 TB/day the
+    assignment is the same zero-exchange literal-argmax projection per
+    micro-batch, and state is O(ncentroids), not O(vectors)).
+
+    Determinism: per-vector max-cosines are quantized to an integer
+    1e-9 grid BEFORE the cross-batch sum (streaming state merges in
+    batch order, batch recomputation aggregates in partition order —
+    integer sums make both orders bit-identical, the
+    _quantized_kmeans_book convention)."""
+    _use_rocksdb(spark)
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import (
+        _assign_book_lit,
+        _prepped,
+        _seed_centroids,
+    )
+
+    # frozen codebook from the standing index (driver-side literals)
+    book = {
+        r["centroid_id"]: list(r["cv"])
+        for r in _seed_centroids(_prepped(spark, sf_dir)).collect()
+    }
+    emb = _embeddings_stream_split(spark, sf_dir, STATEFUL_N_BATCHES)
+    prepped = emb.select(
+        "vec_id",
+        F.lit(None).cast("string").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    assigned = _assign_book_lit(prepped, book)
+    # assignment quality: cosine to the assigned centroid, integer grid
+    # (ONE generated CASE, the _assign_book_lit single-expr convention)
+    import math as _m
+
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import (
+        _fold_dot,
+        _sql_double,
+        _sql_fold_dot,
+    )
+
+    cases = " ".join(
+        f"WHEN centroid_id = {cid} THEN "
+        f"FLOOR(({_sql_fold_dot('v', book[cid])} / "
+        f"(nrm * {_sql_double(_m.sqrt(_fold_dot(book[cid], book[cid])))})) "
+        f"* {ANN_STREAM_QUANT!r})"
+        for cid in sorted(book)
+    )
+    agg = (
+        assigned.withColumn("qcos", F.expr(f"CASE {cases} END"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_arrivals"),
+            F.sum("qcos").cast("long").alias("sum_qcos_1e9"),
+        )
+    )
+    return _run_to_memory(agg, "complete")

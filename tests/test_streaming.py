@@ -753,3 +753,48 @@ def test_state_source_inspect_matches_batch(spark, tmp_path):
     row = m["stateStoreSave"]
     assert row["minBatchId"] == 0
     assert row["maxBatchId"] >= jobs.STATEFUL_N_BATCHES - 1
+
+
+def test_stream_ann_assign_equals_batch(spark):
+    """Streaming index ingest must agree with the batch assignment:
+    per-centroid arrival counts and integer-grid cosine sums over the
+    3 vec_id-ordered micro-batches == one batch pass with the same
+    frozen codebook. Also asserts the run really crossed micro-batches
+    (cross-batch streaming agg state, not one big batch)."""
+    from pyspark.sql import functions as F2
+
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import (
+        _assign_book_lit,
+        _fold_dot,
+        _prepped,
+        _seed_centroids,
+        _sql_double,
+        _sql_fold_dot,
+    )
+    from pwir_zadanie_4_mapreduce_spark.streaming import jobs
+
+    stream = jobs.run_stream_ann_assign(spark, SMOKE_SF)
+    assert jobs.LAST_PROGRESS.get("batch_id", 0) >= jobs.STATEFUL_N_BATCHES - 1
+
+    import math
+
+    e = _prepped(spark, SMOKE_SF)
+    book = {r["centroid_id"]: list(r["cv"]) for r in _seed_centroids(e).collect()}
+    cases = " ".join(
+        f"WHEN centroid_id = {cid} THEN "
+        f"FLOOR(({_sql_fold_dot('v', book[cid])} / "
+        f"(nrm * {_sql_double(math.sqrt(_fold_dot(book[cid], book[cid])))})) "
+        f"* {jobs.ANN_STREAM_QUANT!r})"
+        for cid in sorted(book)
+    )
+    batch = (
+        _assign_book_lit(e, book)
+        .withColumn("qcos", F2.expr(f"CASE {cases} END"))
+        .groupBy("centroid_id")
+        .agg(
+            F2.count("*").alias("n_arrivals"),
+            F2.sum("qcos").cast("long").alias("sum_qcos_1e9"),
+        )
+    )
+    cols = ["centroid_id", "n_arrivals", "sum_qcos_1e9"]
+    assert _rows(stream, cols) == _rows(batch, cols)
