@@ -38,6 +38,8 @@ HEADLINE = [
     "join_skew_aqe_order_revenue",
     # round-12: runtime-bloom-filter join (scan-side semi-join pushdown)
     "join_runtime_bloom_revenue",
+    # round-12: SCD2 point-in-time feature-backfill lookup
+    "join_scd2_point_in_time",
     "subquery_scalar_small_qty",
     "agg_grouping_sets",
     "agg_rollup_flags",

@@ -237,6 +237,76 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS version_id, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               ROUND(value, 4) AS value
+        FROM events WHERE event_type <> 'purchase'),
+    f AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts, v.version_id,
+           v.value AS value_at_purchase
+    FROM f JOIN v ON v.user_id = f.user_id
+        AND v.valid_from <= f.ts
+        AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+    ORDER BY f.event_id
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup against an SCD2 dimension: every
+    purchase retrieves the user-attribute version that was valid AT
+    PURCHASE TIME (versions = the non-purchase event stream run
+    through scd2_user_value_history's interval build). This is the
+    leakage-free ML feature-backfill join: a training row must see the
+    feature value as-of its label timestamp, never a later one — the
+    [valid_from, valid_to) residual IS that guarantee, in one query.
+
+    Plan shape: equi-key hash join on the natural key with the
+    validity range as a residual filter — never a cross join (the
+    join_interval_overlap_events convention). Intervals partition each
+    key's timeline, so AT MOST ONE version matches per fact row — the
+    join cannot amplify (uniqueness pinned by test). At 100 TB the
+    version table is versions-per-key-bounded: broadcast when
+    dimension-sized, bucketed by the natural key when not; the fact
+    side shuffles only its join columns."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            dround(F.col("value"), 4).alias("value"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id").alias("f_user"), F.col("ts").alias("f_ts")
+    )
+    cond = (
+        (versions["user_id"] == facts["f_user"])
+        & (versions["valid_from"] <= facts["f_ts"])
+        & (versions["valid_to"].isNull() | (facts["f_ts"] < versions["valid_to"]))
+    )
+    return (
+        facts.join(versions, cond)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("f_ts").alias("ts"),
+            "version_id",
+            F.col("value").alias("value_at_purchase"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "agg_argmax_doc_per_source",
     oracle="""
     SELECT source, doc_id, n_chars,

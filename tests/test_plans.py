@@ -666,3 +666,22 @@ def test_runtime_bloom_filter_injected(spark):
     # and the filtered result is identical to the broadcast-regime run
     base = join_runtime_bloom_revenue(spark, SMOKE_SF).collect()
     assert [tuple(r) for r in df.collect()] == [tuple(r) for r in base]
+
+
+def test_scd2_pit_join_is_hash_join_and_never_amplifies(spark):
+    """PIT lookup must compile to an equi hash join with the validity
+    range as residual (never nested-loop/cartesian), and [from, to)
+    intervals partition each key's timeline so no fact row can match
+    two versions."""
+    from pyspark.sql import functions as F2
+
+    from pwir_zadanie_4_mapreduce_spark.operators.analytics import (
+        join_scd2_point_in_time,
+    )
+
+    df = join_scd2_point_in_time(spark, SMOKE_SF)
+    plan = explain_str(df)
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"PIT join plan contains {bad}"
+    dup = df.groupBy("event_id").count().filter(F2.col("count") > 1).count()
+    assert dup == 0
