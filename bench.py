@@ -107,6 +107,8 @@ HEADLINE = [
     "dedup_containment",
     "cogroup_asof_merge",
     "timeseries_ewma",
+    # round-12: robust order-statistic rolling band (exact element picks)
+    "timeseries_rolling_median",
     "timeseries_anomaly_zscore",
     "stats_bootstrap_se",
     # agg_weighted_median (exact, in-group sort, sf1 slope 0.98) left

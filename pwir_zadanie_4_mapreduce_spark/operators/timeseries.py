@@ -319,6 +319,67 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = 0.3
 EWMA_WINDOW = 20
 
+ROLLMED_WINDOW = 21  # odd trailing frame -> unique middle order statistic
+
+
+@register(
+    "timeseries_rolling_median",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+             list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN {ROLLMED_WINDOW - 1} PRECEDING AND CURRENT ROW) AS arr
+      FROM events
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS rn,
+           ROUND(list_sort(arr)[{ROLLMED_WINDOW // 4 + 1}], 4) AS rolling_p25,
+           ROUND(list_sort(arr)[{ROLLMED_WINDOW // 2 + 1}], 4) AS rolling_median,
+           ROUND(list_sort(arr)[{(3 * ROLLMED_WINDOW) // 4 + 1}], 4) AS rolling_p75
+    FROM seq
+    WHERE rn % 100 = 0 AND rn >= {ROLLMED_WINDOW}
+    ORDER BY event_type, rn
+    """,
+)
+def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-21-row rolling median (+p25/p75 band) per event type —
+    the ROBUST sibling of timeseries_ewma: a mean-based smoother drags
+    on every spike, an order statistic ignores them, which is why
+    monitoring baselines and data-quality bands prefer it. No engine
+    exposes percentile as a frame-bounded window aggregate; the
+    spelling that is exact AND engine-portable is collect the frame →
+    array_sort → pick the (6, 11, 16)-th order statistics of 21 — the
+    picked values are INPUT doubles, not arithmetic results, so the
+    hash-match is bit-exact by construction (no fold-order anywhere).
+
+    Same trap-avoidance as EWMA: the frame array is materialized as a
+    window projection before array_sort touches it (HOF lambdas
+    re-evaluate inlined inputs per element). Full-history guard
+    (rn >= 21) keeps the warmup rows out, where even-length frames
+    would need a two-element average — an arithmetic result — and the
+    exactness argument would be lost for no analytical gain. 100 TB:
+    partitioned window, per-row state bounded at 21 doubles, sampled
+    output keeps the result driver-safe; sorting 21 elements per row
+    is O(n·21·log 21) JVM-side — cheaper than one extra shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-(ROLLMED_WINDOW - 1), 0)
+    seq = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.collect_list("value").over(wf).alias("arr"),
+    ).filter((F.col("rn") % 100 == 0) & (F.col("rn") >= ROLLMED_WINDOW))
+    sorted_arr = F.array_sort("arr")
+    return seq.select(
+        "event_type",
+        F.col("rn").cast("long").alias("rn"),
+        dround(F.element_at(sorted_arr, ROLLMED_WINDOW // 4 + 1), 4).alias("rolling_p25"),
+        dround(F.element_at(sorted_arr, ROLLMED_WINDOW // 2 + 1), 4).alias("rolling_median"),
+        dround(F.element_at(sorted_arr, (3 * ROLLMED_WINDOW) // 4 + 1), 4).alias("rolling_p75"),
+    ).orderBy("event_type", "rn")
+
 
 @register(
     "timeseries_ewma",

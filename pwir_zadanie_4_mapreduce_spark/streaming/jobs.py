@@ -1384,7 +1384,6 @@ def run_stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings_stream_split(spark, sf_dir, STATEFUL_N_BATCHES)
     prepped = emb.select(
         "vec_id",
-        F.lit(None).cast("string").alias("label"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         F.sqrt(
             F.aggregate(
