@@ -43,7 +43,10 @@ def main() -> None:
     for path in args.shards:
         with open(path) as fh:
             shard = json.load(fh)
-        sf_dirs.add(shard.get("sf_dir"))
+        sd = shard.get("sf_dir")
+        # an already-merged artifact carries a LIST of sf_dirs — accept
+        # both so merged artifacts can be extended with later deltas
+        sf_dirs.update(sd if isinstance(sd, list) else [sd])
         for name, rec in shard["queries"].items():
             rec = dict(rec)
             rec["evidence_round"] = args.round
