@@ -1303,6 +1303,21 @@ def run_state_source_inspect(spark: SparkSession, sf_dir: str, out_dir: str):
     return totals, meta
 
 
+def _emb_split_dir_path(sf_dir: str, n_batches: int = 3) -> str:
+    """Scratch dir of the embeddings split — the one place the
+    (fixture, n_batches, pid) naming lives (the _split_dir_path
+    convention); chaos tooling copies the slice files from here."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha256(
+        f"{table_path(sf_dir, 'embeddings')}:{n_batches}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"pwir_emb_split_{tag}_{os.getpid()}"
+    )
+
+
 def _embeddings_stream_split(
     spark: SparkSession, sf_dir: str, n_batches: int = 3
 ) -> DataFrame:
@@ -1312,18 +1327,11 @@ def _embeddings_stream_split(
     deterministic multi-micro-batch device as _events_stream_split;
     no timestamp surgery needed, embeddings carry none)."""
     import atexit
-    import hashlib
     import shutil
-    import tempfile
 
     from pwir_zadanie_4_mapreduce_spark.catalog import load_table
 
-    tag = hashlib.sha256(
-        f"{table_path(sf_dir, 'embeddings')}:{n_batches}".encode()
-    ).hexdigest()[:12]
-    d = os.path.join(
-        tempfile.gettempdir(), f"pwir_emb_split_{tag}_{os.getpid()}"
-    )
+    d = _emb_split_dir_path(sf_dir, n_batches)
     marker = os.path.join(d, "_SPLIT_DONE")
     if not os.path.exists(marker):
         atexit.register(shutil.rmtree, d, ignore_errors=True)
@@ -1354,6 +1362,80 @@ def _embeddings_stream_split(
 ANN_STREAM_QUANT = 1000000000.0  # cosine quantized to 1e-9 for order-free sums
 
 
+def _ann_assign_agg(emb: DataFrame, sf_dir: str) -> DataFrame:
+    """The ANN-ingest topology over an arbitrary embeddings frame
+    (streaming OR batch — the batch-diff test and the executor-kill
+    chaos both reuse it): frozen-codebook literal-argmax assignment +
+    per-centroid counts and integer-grid cosine sums."""
+    import math as _m
+
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import (
+        _assign_book_lit,
+        _fold_dot,
+        _prepped,
+        _seed_centroids,
+        _sql_double,
+        _sql_fold_dot,
+    )
+
+    spark = emb.sparkSession
+    # frozen codebook from the standing index (driver-side literals)
+    book = {
+        r["centroid_id"]: list(r["cv"])
+        for r in _seed_centroids(_prepped(spark, sf_dir)).collect()
+    }
+    prepped = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    assigned = _assign_book_lit(prepped, book)
+    # assignment quality: cosine to the assigned centroid, integer grid
+    # (ONE generated CASE, the _assign_book_lit single-expr convention)
+    cases = " ".join(
+        f"WHEN centroid_id = {cid} THEN "
+        f"FLOOR(({_sql_fold_dot('v', book[cid])} / "
+        f"(nrm * {_sql_double(_m.sqrt(_fold_dot(book[cid], book[cid])))})) "
+        f"* {ANN_STREAM_QUANT!r})"
+        for cid in sorted(book)
+    )
+    return (
+        assigned.withColumn("qcos", F.expr(f"CASE {cases} END"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_arrivals"),
+            F.sum("qcos").cast("long").alias("sum_qcos_1e9"),
+        )
+    )
+
+
+def _ann_assign_start(spark: SparkSession, src_dir: str, ckpt_dir: str, sf_dir: str, name: str):
+    """Start the ANN-ingest aggregation over an external slice dir with
+    an explicit checkpoint — the startable form the executor-kill chaos
+    drives (memory sink lives in the DRIVER, so killing an executor
+    tests exactly the state-store recovery path, not the sink)."""
+    schema = spark.read.parquet(os.path.join(src_dir, "01.parquet")).schema
+    emb = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "*.parquet"))
+    )
+    agg = _ann_assign_agg(emb, sf_dir)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+
+
 def run_stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN index ingest: arriving vectors are assigned to
     the FROZEN coarse codebook (sim_topk_ivf's seed convention) and
@@ -1370,53 +1452,5 @@ def run_stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums make both orders bit-identical, the
     _quantized_kmeans_book convention)."""
     _use_rocksdb(spark)
-    from pwir_zadanie_4_mapreduce_spark.operators.similarity import (
-        _assign_book_lit,
-        _prepped,
-        _seed_centroids,
-    )
-
-    # frozen codebook from the standing index (driver-side literals)
-    book = {
-        r["centroid_id"]: list(r["cv"])
-        for r in _seed_centroids(_prepped(spark, sf_dir)).collect()
-    }
     emb = _embeddings_stream_split(spark, sf_dir, STATEFUL_N_BATCHES)
-    prepped = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("nrm"),
-    )
-    assigned = _assign_book_lit(prepped, book)
-    # assignment quality: cosine to the assigned centroid, integer grid
-    # (ONE generated CASE, the _assign_book_lit single-expr convention)
-    import math as _m
-
-    from pwir_zadanie_4_mapreduce_spark.operators.similarity import (
-        _fold_dot,
-        _sql_double,
-        _sql_fold_dot,
-    )
-
-    cases = " ".join(
-        f"WHEN centroid_id = {cid} THEN "
-        f"FLOOR(({_sql_fold_dot('v', book[cid])} / "
-        f"(nrm * {_sql_double(_m.sqrt(_fold_dot(book[cid], book[cid])))})) "
-        f"* {ANN_STREAM_QUANT!r})"
-        for cid in sorted(book)
-    )
-    agg = (
-        assigned.withColumn("qcos", F.expr(f"CASE {cases} END"))
-        .groupBy("centroid_id")
-        .agg(
-            F.count("*").alias("n_arrivals"),
-            F.sum("qcos").cast("long").alias("sum_qcos_1e9"),
-        )
-    )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(_ann_assign_agg(emb, sf_dir), "complete")
