@@ -388,6 +388,14 @@ def events_rfm_segments_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bin_col(F.col("monetary"), F.col("m_lo"), F.col("m_hi")).alias("m_bin"),
     )
     pu = pu.transform(cut_lineage)  # reused by 3 bin rollups + final join
+    # r12 optimization round (guide §7.2 "duplicated subtrees"): the
+    # quartile denominator used to re-aggregate `ext` — whose plan
+    # contains the FULL events→per_user pipeline — once per metric
+    # (3 extra events scans + user aggs; 26 scans / 56 exchanges in the
+    # before-plan). The denominator is just COUNT(*) of the
+    # checkpointed pu, so derive it there: plan drops to one events
+    # scan + 4 reads of the materialized pu blocks.
+    nrow = pu.agg(F.count("*").alias("n"))
 
     def quartiles(bin_name: str, ascending: bool) -> DataFrame:
         # cumulative count via the bounded triangle join over the BIN
@@ -410,7 +418,7 @@ def events_rfm_segments_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(rb.alias("f")), cond)
             .groupBy(F.col(f"a.{bin_name}").alias(bin_name), F.col("a.n_b").alias("n_b"))
             .agg(F.sum(F.col("f.n_b")).alias("cum"))
-            .crossJoin(F.broadcast(ext.select("n")))
+            .crossJoin(F.broadcast(nrow))
             .select(bin_name, q.alias(f"{bin_name[0]}_q"))
         )
 
