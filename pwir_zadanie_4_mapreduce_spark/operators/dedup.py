@@ -521,7 +521,6 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _md5_long(F.col("s")).alias("h"))
         .transform(cut_lineage)  # feeds the pair join (twice) + sigs
     )
-    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = posting.select(F.col("doc_id").alias("doc_a"), "h")
     b = posting.select(F.col("doc_id").alias("doc_b"), "h")
     co = (
@@ -530,35 +529,54 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    pairs = (
-        co.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", jac.alias("jac"))
-    )
-    sig = posting.groupBy("doc_id").agg(
+    # r12 optimization round (guide §7.2 duplicated subtrees / §2.3
+    # aggregate once): sizes and the 16-permutation md5 signature used
+    # to be two separate aggs, each instantiated TWICE (a-side + b-side
+    # of the pair join) — four aggregation passes over the posting. One
+    # fused groupBy computes (n, p0..p15) per pass, halving that to two
+    # (left deliberately NOT checkpointed: an interleaved A/B showed
+    # the extra materialization barrier costs more at bench scale than
+    # the duplicate 5k-row agg over checkpointed posting blocks, and at
+    # 100 TB the two instantiations read the staged posting, not the
+    # corpus).
+    stats = posting.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
         *[
-            F.min(_md5_long(F.concat(F.lit(f"{q}:"), F.col("h").cast("string")))).alias(
-                f"p{q}"
-            )
+            F.min(
+                _md5_long(F.concat(F.lit(f"{q}:"), F.col("h").cast("string")))
+            ).alias(f"p{q}")
             for q in range(ACC_PERMS)
-        ]
+        ],
     )
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"p{q}").alias(f"a{q}") for q in range(ACC_PERMS)]
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    sig_a = stats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        *[F.col(f"p{q}").alias(f"a{q}") for q in range(ACC_PERMS)],
     )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"p{q}").alias(f"b{q}") for q in range(ACC_PERMS)]
+    sig_b = stats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        *[F.col(f"p{q}").alias(f"b{q}") for q in range(ACC_PERMS)],
+    )
+    pairs = (
+        co.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jac"),
+            *[F.col(f"a{q}") for q in range(ACC_PERMS)],
+            *[F.col(f"b{q}") for q in range(ACC_PERMS)],
+        )
     )
     matches = F.lit(0)
     for q in range(ACC_PERMS):
         matches = matches + F.when(F.col(f"a{q}") == F.col(f"b{q}"), 1).otherwise(0)
     est = matches / float(ACC_PERMS)
     return (
-        pairs.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .select(
+        pairs.select(
             "doc_a",
             "doc_b",
             dround("jac", 4).alias("jaccard"),
