@@ -106,3 +106,58 @@ def test_ewma_within_window_bounds(spark):
     ).collect()[0]
     for r in rows:
         assert ev["lo"] - 1e-9 <= r["ewma"] <= ev["hi"] + 1e-9, r
+
+
+def test_cogroup_asof_merge_arrow_edge_semantics(spark, tmp_path):
+    """Focused pin for the r12 applyInArrow rewrite of
+    cogroup_asof_merge: the numpy-searchsorted asof pick must reproduce
+    pd.merge_asof(direction="backward") exactly — at-ts clicks count
+    (<=), ties on click ts resolve to the highest click_id, purchases
+    with no at-or-before click (including users with ZERO clicks — the
+    empty-right cogroup) emit NULLs, click-only users emit nothing."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pwir_zadanie_4_mapreduce_spark.operators.stats import cogroup_asof_merge
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: tie at ts=10 (ids 101 vs 102 -> 102 wins), later click 103
+        (101, t(10), 1, "click"), (102, t(10), 1, "click"), (103, t(20), 1, "click"),
+        (201, t(10), 1, "purchase"),   # at-ts tie counts -> 102
+        (202, t(15), 1, "purchase"),   # backward -> 102 @10
+        (203, t(25), 1, "purchase"),   # -> 103 @20
+        # user 2: only a LATER click -> NULL
+        (104, t(9), 2, "click"), (204, t(5), 2, "purchase"),
+        # user 3: clicks only -> no output row
+        (105, t(1), 3, "click"),
+        # user 4: purchases only (empty right cogroup side) -> NULL
+        (205, t(7), 4, "purchase"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    got = {
+        r["purchase_id"]: (
+            r["last_click_id"],
+            None if r["last_click_ts"] is None else r["last_click_ts"].second,
+        )
+        for r in cogroup_asof_merge(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        201: (102, 10),
+        202: (102, 10),
+        203: (103, 20),
+        204: (None, None),
+        205: (None, None),
+    }
