@@ -962,15 +962,29 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-partitioned joins against an id→label frame: O(E) shuffle of
     ids and labels only, never payloads."""
     pairs = basket_part_pairs(spark, sf_dir).select("part_a", "part_b", "support")
+    # r12 optimization round (guide §7.2): symmetrization used to be a
+    # unionAll of two selects over `pairs` — un-checkpointed, so the
+    # full basket-assembly pass ran TWICE inside the edge
+    # materialization. One explode emits both orientations per pair in
+    # a single basket pass.
     edges = (
         pairs.select(
-            F.col("part_a").alias("u"), F.col("part_b").alias("v"), "support"
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("part_a").alias("u"),
+                        F.col("part_b").alias("v"),
+                        F.col("support"),
+                    ),
+                    F.struct(
+                        F.col("part_b").alias("u"),
+                        F.col("part_a").alias("v"),
+                        F.col("support"),
+                    ),
+                )
+            ).alias("x")
         )
-        .unionAll(
-            pairs.select(
-                F.col("part_b").alias("u"), F.col("part_a").alias("v"), "support"
-            )
-        )
+        .select("x.u", "x.v", "x.support")
         .transform(cut_lineage)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
@@ -2086,9 +2100,12 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
     )
+    # r12 optimization round (guide §7.2): the doubled node list used
+    # to be a unionAll of two selects over `edges` — un-checkpointed,
+    # so the basket assembly + pair fan-out + distinct ran TWICE. One
+    # explode emits both endpoints per edge in a single pass.
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
@@ -2201,9 +2218,19 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("shipped").alias("d1"),
         )
     )
-    deltas = spans.select(F.col("d0").alias("d"), F.lit(1).alias("delta")).unionAll(
-        spans.select(F.date_add("d1", 1).alias("d"), F.lit(-1).alias("delta"))
-    )
+    # r12 optimization round (guide §7.2 duplicated subtrees): the
+    # +1/−1 delta rows used to be a unionAll of two selects over
+    # `spans` — which, un-checkpointed, instantiated the orders⋈
+    # lineitem join + per-order agg TWICE. One explode fans each span
+    # into both delta rows in a single pass (no union, no barrier).
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d0").alias("d"), F.lit(1).alias("delta")),
+                F.struct(F.date_add("d1", 1).alias("d"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x")
+    ).select("x.d", "x.delta")
     daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select(

@@ -28,7 +28,7 @@ if REPO_ROOT not in sys.path:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=3, help="0 = plans only, no timing")
     ap.add_argument("--plans-dir", default=os.path.join(REPO_ROOT, "plans", "r12"))
     ap.add_argument("--suffix", default=None, help="write <query>_<suffix>.txt plan files")
     ap.add_argument("--no-warmup", action="store_true")
@@ -61,7 +61,7 @@ def main() -> None:
         except Exception:
             pass
 
-    if not args.no_warmup:
+    if not args.no_warmup and args.runs > 0:
         spark.sparkContext.setJobDescription("warmup q1")
         materialize(queries["q1_pricing_summary"](spark, sf_dir))
 
@@ -84,7 +84,10 @@ def main() -> None:
             t0 = time.monotonic()
             materialize(queries[name](spark, sf_dir))
             runs.append(round(time.monotonic() - t0, 3))
-        print(f"{name}: runs={runs} min={min(runs)}", flush=True)
+        if runs:
+            print(f"{name}: runs={runs} min={min(runs)}", flush=True)
+        else:
+            print(f"{name}: plan captured", flush=True)
 
     spark.stop()
 
