@@ -688,20 +688,29 @@ def timeseries_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFram
     scored = pts.join(F.broadcast(ctx), ["event_type", "b"]).select(
         "event_type", "b", "event_id", "value", area.alias("area")
     )
-    wtop = Window.partitionBy("event_type", "b").orderBy(
-        F.desc("area"), F.col("event_id")
+    # r12 optimization round (guide §2.3 aggregate-before-shuffle): the
+    # per-(type, bucket) top-1 used to be a row_number window — a full
+    # exchange + sort of every scored point. max_by with the
+    # lexicographic (area, -event_id) key is the same pick (max area,
+    # ties to the LOWEST event_id) as ORDER BY area DESC, event_id,
+    # but partial-aggregates map-side: the shuffle carries one row per
+    # (type, bucket) per map task instead of every point, and no sort
+    # runs anywhere.
+    pick = F.max_by(
+        F.struct("event_id", "value", "area"),
+        F.struct(F.col("area"), (-F.col("event_id")).alias("nid")),
     )
     return (
-        scored.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("event_type", "b")
+        .agg(pick.alias("p"))
         .select(
             "event_type",
             F.col("b").alias("bucket"),
-            "event_id",
-            dround(F.col("value").cast("double"), 4).alias("y"),
+            F.col("p.event_id").alias("event_id"),
+            dround(F.col("p.value").cast("double"), 4).alias("y"),
             # explicit FLOOR: DuckDB's double->BIGINT cast rounds,
             # Spark's truncates — FLOOR makes both sides identical
-            F.floor(F.col("area")).cast("long").alias("area"),
+            F.floor(F.col("p.area")).cast("long").alias("area"),
         )
         .orderBy("event_type", "bucket")
     )
