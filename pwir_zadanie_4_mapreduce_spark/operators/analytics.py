@@ -503,7 +503,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # r12 optimization round (guide §7.2): tf feeds BOTH the corpus df
+    # aggregation and the scored probe side — without a checkpoint the
+    # tokenize + explode + (doc, term) agg planned twice.
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).transform(cut_lineage)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     tfidf = dround(

@@ -1175,11 +1175,17 @@ def events_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user event list ever materializes (the naive collect_list-
     then-scan plan would ship every event; this ships one row per
     user)."""
+    from pwir_zadanie_4_mapreduce_spark.functions.lineage import cut_lineage
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # r12 optimization round (guide §7.2): clicks feeds BOTH the
+    # sequenced purchase join and the funnel left join — without a
+    # checkpoint the events scan + per-user min agg planned twice.
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
+        .transform(cut_lineage)
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
