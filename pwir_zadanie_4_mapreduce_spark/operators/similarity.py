@@ -692,14 +692,23 @@ def sim_topk_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same double op in both engines; everything after is
     integer)."""
     e = _prepped(spark, sf_dir)
-    amax = e.select(
-        F.max(F.expr("aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
-    ).first()[0]
-    scale = amax / float(INT8_QMAX)
+    # r12 optimization round: the scale agg and the query-row fetch
+    # used to be two separate driver jobs; one fused agg computes both
+    # (vec_ids are unique, so max over the when() picks exactly the
+    # query's vector). The query's quantized literals are then derived
+    # in Python with the SAME IEEE ops the Spark expr ran
+    # (x / scale + 0.5, floor) — bit-identical doubles either way.
+    pre = e.agg(
+        F.max(
+            F.expr("aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))")
+        ).alias("amax"),
+        F.max(F.when(F.col("vec_id") == QUERY_VEC_ID, F.col("v"))).alias("qv"),
+    ).first()
+    scale = pre["amax"] / float(INT8_QMAX)
     quant = f"transform(v, x -> CAST(FLOOR(x / {_sql_double(scale)} + 0.5) AS BIGINT))"
     eq = e.withColumn("q", F.expr(quant))
-    qrow = eq.filter(F.col("vec_id") == QUERY_VEC_ID).select("q").first()
-    qq_sql = "array(" + ", ".join(f"{int(x)}L" for x in qrow["q"]) + ")"
+    qq = [int(math.floor(x / scale + 0.5)) for x in pre["qv"]]
+    qq_sql = "array(" + ", ".join(f"{x}L" for x in qq) + ")"
     qdot = F.expr(
         f"aggregate(zip_with(q, {qq_sql}, (a, b) -> a * b), 0L, (acc, t) -> acc + t)"
     )
@@ -754,15 +763,22 @@ def sim_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches."""
     e = _prepped(spark, sf_dir)
     # stage 1: the int8 ranking of sim_topk_int8_quantized, widened to
-    # RERANK_CANDIDATES
-    amax = e.select(
-        F.max(F.expr("aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
-    ).first()[0]
-    scale = amax / float(INT8_QMAX)
+    # RERANK_CANDIDATES. r12 optimization round: scale agg + query-row
+    # fetch fused into one driver job (see sim_topk_int8_quantized);
+    # the query's quantized literals are derived in Python with the
+    # SAME IEEE ops the Spark expr ran.
+    pre = e.agg(
+        F.max(
+            F.expr("aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))")
+        ).alias("amax"),
+        F.max(F.when(F.col("vec_id") == QUERY_VEC_ID, F.col("v"))).alias("qv"),
+        F.max(F.when(F.col("vec_id") == QUERY_VEC_ID, F.col("nrm"))).alias("qn"),
+    ).first()
+    scale = pre["amax"] / float(INT8_QMAX)
     quant = f"transform(v, x -> CAST(FLOOR(x / {_sql_double(scale)} + 0.5) AS BIGINT))"
     eq = e.withColumn("q", F.expr(quant))
-    qrow = eq.filter(F.col("vec_id") == QUERY_VEC_ID).select("q", "v", "nrm").first()
-    qq_sql = "array(" + ", ".join(f"{int(x)}L" for x in qrow["q"]) + ")"
+    qq = [int(math.floor(x / scale + 0.5)) for x in pre["qv"]]
+    qq_sql = "array(" + ", ".join(f"{x}L" for x in qq) + ")"
     qdot = F.expr(
         f"aggregate(zip_with(q, {qq_sql}, (a, b) -> a * b), 0L, (acc, t) -> acc + t)"
     )
@@ -775,7 +791,7 @@ def sim_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stage 2: exact cosine on the candidate ids only (broadcast the
     # 50-row shortlist; at scale this is an id-lookup, not a scan)
-    qv, qn = list(qrow["v"]), qrow["nrm"]
+    qv, qn = list(pre["qv"]), pre["qn"]
     cos = F.expr(f"{_sql_fold_dot('v', qv)} / (nrm * {_sql_double(qn)})")
     return (
         e.join(F.broadcast(cand), "vec_id")
