@@ -434,7 +434,8 @@ def _quantized_kmeans_book(
     k: int = N_CENTROIDS,
     iters: int = IVF_SAMPLED_ITERS,
     sample_mod: int | None = None,
-) -> dict[int, list[float]]:
+    with_query: bool = False,
+):
     """Spherical k-means with ENGINE-PORTABLE arithmetic, optionally on
     a deterministic md5 sample (sample_mod=m keeps vec_ids whose md5
     lands in bucket 0 of m — the 100 TB spelling where Lloyd never
@@ -466,9 +467,21 @@ def _quantized_kmeans_book(
         samp.select("vec_id", "v", "nrm")
         .transform(cut_lineage)  # Lloyd jobs re-read the bounded set
     )
-    book = {
-        r["vec_id"]: list(r["v"]) for r in samp.orderBy("vec_id").limit(k).collect()
-    }
+    # r12 optimization round: when the caller also needs the query row
+    # (the probe step), ride it on the seed-collect job as a flagged
+    # union branch instead of paying a separate filter job later.
+    seed_src = samp.orderBy("vec_id").limit(k).select(
+        "vec_id", "v", "nrm", F.lit(True).alias("is_seed")
+    )
+    if with_query:
+        seed_src = seed_src.unionByName(
+            e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+                "vec_id", "v", "nrm", F.lit(False).alias("is_seed")
+            )
+        )
+    rows = seed_src.collect()
+    book = {r["vec_id"]: list(r["v"]) for r in rows if r["is_seed"]}
+    qrow = next((r for r in rows if not r["is_seed"]), None)
     for _ in range(iters):
         sums = (
             _assign_book_lit(samp, book)
@@ -490,7 +503,7 @@ def _quantized_kmeans_book(
         for cid, comps in new_book.items():
             book[cid] = [comps[d] for d in range(len(comps))]
         # centroids absent from new_book (empty clusters) keep old value
-    return book
+    return (book, qrow) if with_query else book
 
 
 def _ivf_kmeans_mirror_oracle(
@@ -562,15 +575,23 @@ def _ivf_kmeans_mirror_oracle(
     """
 
 
-def _ivf_probe_topk(e: DataFrame, book: dict[int, list[float]], nprobe: int) -> DataFrame:
+def _ivf_probe_topk(
+    e: DataFrame, book: dict[int, list[float]], nprobe: int, qrow=None
+) -> DataFrame:
     """Probe-and-rank against a DRIVER-SIDE codebook: probe selection
     is driver arithmetic (k cosines against the 1×dim query), then ONE
     narrow corpus scan (literal-codebook argmax + isin(probes) +
     literal-query cosine) into TakeOrderedAndProject — ZERO exchanges;
     at 100 TB with the corpus written partitioned by centroid_id the
     isin becomes partition pruning at the scan
-    (sim_topk_ivf_partitioned executes that layout)."""
-    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
+    (sim_topk_ivf_partitioned executes that layout).
+
+    qrow: optionally the pre-fetched query Row (fields v, nrm) — the
+    r12 optimization lets callers fuse the query fetch into a driver
+    job they already run (e.g. the Lloyd seed collect) instead of
+    paying a separate filter job here."""
+    if qrow is None:
+        qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
     qv, qn = list(qrow["v"]), qrow["nrm"]
     scored = []
     for cid in sorted(book):
@@ -614,8 +635,8 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (training never scans the full corpus); this one is the
     training-quality ceiling at the same probe budget."""
     e = _prepped(spark, sf_dir)
-    book = _quantized_kmeans_book(e)
-    return _ivf_probe_topk(e, book, N_PROBE)
+    book, qrow = _quantized_kmeans_book(e, with_query=True)
+    return _ivf_probe_topk(e, book, N_PROBE, qrow=qrow)
 
 
 @register(
@@ -642,8 +663,8 @@ def sim_topk_ivf_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ivf_probe_topk (one narrow corpus scan, zero exchanges).
     """
     e = _prepped(spark, sf_dir)
-    book = _quantized_kmeans_book(e, sample_mod=IVF_SAMPLE_MOD)
-    return _ivf_probe_topk(e, book, IVF_SAMPLED_NPROBE)
+    book, qrow = _quantized_kmeans_book(e, sample_mod=IVF_SAMPLE_MOD, with_query=True)
+    return _ivf_probe_topk(e, book, IVF_SAMPLED_NPROBE, qrow=qrow)
 
 
 INT8_QMAX = 127  # symmetric signed-int8 quantization grid
@@ -1123,12 +1144,19 @@ def _pq_subvecs(df: DataFrame, vcol: str) -> DataFrame:
 _SQDIST = "aggregate(zip_with(sv, cvec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"
 
 
-def _pq_codebook(e: DataFrame) -> DataFrame:
+def _pq_codebook(e: DataFrame, seeds=None) -> DataFrame:
     """(m, code, cvec) codebook from the PQ_K lowest vec_ids' subvectors
     — the deterministic seed codebook (same convention as the IVF seed
     centroids; a trained variant would run per-subspace k-means exactly
-    like kmeans_codebook). k×M×subdim doubles — trivially broadcastable."""
-    seeds = e.orderBy("vec_id").limit(PQ_K).select("vec_id", "v").collect()
+    like kmeans_codebook). k×M×subdim doubles — trivially broadcastable.
+
+    seeds: optionally the pre-collected PQ_K lowest-vec_id Rows
+    (fields vec_id, v) — lets a caller that already collected the seed
+    rows (r12: sim_topk_ivfpq shares them with the IVF coarse book)
+    skip this function's own collect job."""
+    if seeds is None:
+        seeds = e.orderBy("vec_id").limit(PQ_K).select("vec_id", "v").collect()
+    seeds = seeds[:PQ_K]
     rows = []
     for code, r in enumerate(sorted(seeds, key=lambda r: r["vec_id"])):
         v = list(r["v"])
@@ -1678,11 +1706,29 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; encoding is one min_by hash agg whose shuffle rows are
     (vec_id, m, code) — bytes, not vectors."""
     e = _prepped(spark, sf_dir)
-    book = {r["centroid_id"]: list(r["cv"]) for r in _seed_centroids(e).collect()}
+    # r12 optimization round: ONE driver job collects the seed rows
+    # (they are simultaneously the IVF coarse book — N_CENTROIDS lowest
+    # vec_ids — and the PQ codebook source — PQ_K lowest vec_ids) AND
+    # the query row (flagged union branch); this op previously ran
+    # three separate driver jobs for them.
+    n_seed = max(N_CENTROIDS, PQ_K)
+    rows = (
+        e.orderBy("vec_id")
+        .limit(n_seed)
+        .select("vec_id", "v", "nrm", F.lit(True).alias("is_seed"))
+        .unionByName(
+            e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+                "vec_id", "v", "nrm", F.lit(False).alias("is_seed")
+            )
+        )
+        .collect()
+    )
+    seeds = sorted((r for r in rows if r["is_seed"]), key=lambda r: r["vec_id"])
+    book = {r["vec_id"]: list(r["v"]) for r in seeds[:N_CENTROIDS]}
 
     # probe selection: driver arithmetic over k cosines (same IEEE ops
     # as the oracle's probe CTE — _ivf_probe_topk convention)
-    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
+    qrow = next(r for r in rows if not r["is_seed"])
     qv, qn = list(qrow["v"]), qrow["nrm"]
     scored_cents = []
     for cid in sorted(book):
@@ -1699,7 +1745,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v")
     )
 
-    codebook = _pq_codebook(e)
+    codebook = _pq_codebook(e, seeds=seeds)
     sub = _pq_subvecs(members, "v")
     encoded = (
         sub.join(F.broadcast(codebook), "m")
