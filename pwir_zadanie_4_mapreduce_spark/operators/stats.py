@@ -527,9 +527,12 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("im"), F.lit(0)).alias("is_member"),
         )
     )
-    n_members = members.count()
-    return probe.agg(
-        F.lit(n_members).cast("long").alias("n_members"),
+    # r12 optimization round: the member count used to be a separate
+    # driver job embedded as a literal; a broadcast 1-row agg rides the
+    # main job instead (same value, one fewer job).
+    n_members = members.agg(F.count("*").alias("nm"))
+    return probe.crossJoin(F.broadcast(n_members)).agg(
+        F.max("nm").alias("n_members"),
         F.count("*").alias("n_probed"),
         F.count(F.when(F.col("hits") == BLOOM_K, 1)).alias("n_bloom_hits"),
         F.count(F.when((F.col("hits") == BLOOM_K) & (F.col("is_member") == 0), 1)).alias(
