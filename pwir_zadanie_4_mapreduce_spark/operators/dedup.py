@@ -650,18 +650,36 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset of the full pair set the minhash recall test pins), so the
     mirror is the exhaustive cutoff-split join.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    cutoff = lo + math.floor(INCR_LSH_CUTOFF_FRACTION * (hi - lo))
     sh = _hashed_shingles(spark, sf_dir).transform(cut_lineage)
+    # r13 optimization round (−30% interleaved A/B at 32 AND 8 cores):
+    # the cutoff bounds used to be a separate driver job over the
+    # documents parquet; aggregating doc_id bounds over sh instead
+    # (_hashed_shingles emits every doc_id — greatest(...,1) keeps
+    # empty docs — so the bounds are identical) drops that scan AND,
+    # more importantly, MATERIALIZES the checkpoint as its own job
+    # before the main query runs: previously the lazy localCheckpoint
+    # was first computed inside the main job, where the two broadcast
+    # verify sides and the two signature aggs could each race to
+    # compute not-yet-cached shingle blocks.
+    lo, hi = sh.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cutoff = lo + math.floor(INCR_LSH_CUTOFF_FRACTION * (hi - lo))
     hist_sh = sh.filter(F.col("doc_id") < cutoff)
     new_sh = sh.filter(F.col("doc_id") >= cutoff)
-    hist_bands = _band_keys(
-        minhash_signature_agg(hist_sh.select("doc_id", F.explode("hs").alias("h")))
-    ).select(F.col("doc_id").alias("hist_doc"), "band_id", "band_hash")
-    new_bands = _band_keys(
-        minhash_signature_agg(new_sh.select("doc_id", F.explode("hs").alias("h")))
-    ).select(F.col("doc_id").alias("new_doc"), "band_id", "band_hash")
+    # The banding is written as ONE whole-corpus signature agg with the
+    # cutoff filters above it; note Catalyst re-pushes grouping-key
+    # filters below the aggregate (visible in the plan dump), so the
+    # two band sides still execute as two half-corpus agg stages —
+    # plan-shape-neutral, kept because it reads as the index/probe
+    # split it models and costs nothing.
+    bands = _band_keys(
+        minhash_signature_agg(sh.select("doc_id", F.explode("hs").alias("h")))
+    )
+    hist_bands = bands.filter(F.col("doc_id") < cutoff).select(
+        F.col("doc_id").alias("hist_doc"), "band_id", "band_hash"
+    )
+    new_bands = bands.filter(F.col("doc_id") >= cutoff).select(
+        F.col("doc_id").alias("new_doc"), "band_id", "band_hash"
+    )
     candidates = (
         new_bands.join(hist_bands, ["band_id", "band_hash"])
         .select("hist_doc", "new_doc")
@@ -716,6 +734,22 @@ def connected_components(
     min(node, min incoming u) — one aggregation, no join (measured
     2.43 s → 1.75 s on dedup_cluster_components at sf0.1).
 
+    r13 optimization round (guide §2.4, the pagerank layout): the
+    edge list is hash-partitioned by v ONCE and CACHED
+    (InMemoryRelation keeps outputPartitioning visible where a
+    localCheckpoint's LogicalRDD does not), and the per-round label
+    table — |component members| rows, tiny next to |E| — BROADCASTS
+    onto it, so the in-loop min-label join and its v-keyed
+    re-aggregation both run with ZERO shuffle exchanges; the old
+    union-then-groupBy round exchanged the edge join AND the
+    aggregation every round (labels sit behind a lineage cut, whose
+    unknown size statistics also defeated the automatic broadcast).
+    The own-label merge and the convergence check ride a second
+    broadcast join instead of the union. When the label table
+    outgrows the broadcast threshold, drop the hints: the label side
+    shuffles per round but the |E| side stays exchange-free — same
+    fallback story as pagerank.
+
     ``nodes``: (node); ``edges``: (u, v), directed — pass both
     directions for undirected graphs.
     """
@@ -726,26 +760,40 @@ def connected_components(
         .agg(F.min("label").alias("label"))
         .transform(cut_lineage)
     )
+    ev = edges.repartition("v").cache()
     for _ in range(max_iterations - 1):
-        # each node's OWN previous label rides the union as a second
-        # column (null on neighbor rows, max() recovers it), so the
-        # convergence check needs no join back to the old frame — one
-        # shuffle aggregation per round is the whole round.
-        nbr = edges.join(labels, edges.u == labels.node).select(
-            F.col("v").alias("node"), "label", F.lit(None).cast("long").alias("own")
-        )
-        own = labels.select("node", "label", F.col("label").alias("own"))
-        new_labels = (
-            own.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"), F.max("own").alias("own"))
-            .transform(cut_lineage)
-        )
+        new_labels = _cc_round(ev, labels).transform(cut_lineage)
         changed = new_labels.filter(F.col("label") != F.col("own")).limit(1).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    ev.unpersist()
     return labels
+
+
+def _cc_round(ev: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label propagation round over ``ev`` (edges (u, v),
+    hash-partitioned by v and cached) and ``labels`` (node, label):
+    returns (node, label, own). Shuffle-free when ev's cache is built
+    (test_cc_loop_round_is_shuffle_free pins it): the label broadcasts
+    preserve ev's partitioning, and grouping on the raw v attribute
+    (not an alias) lets the cache's hashpartitioning(v) satisfy the
+    aggregation's clustering requirement (pagerank's trick)."""
+    nbr_min = (
+        ev.join(F.broadcast(labels.withColumnRenamed("node", "u")), "u")
+        .groupBy("v")
+        .agg(F.min("label").alias("nbr_min"))
+    )
+    # symmetrized edges make every paired node appear as some v, but
+    # singleton/edge-less nodes only exist in `labels` — the left join
+    # keeps them, coalesce leaves their label unchanged.
+    return labels.join(
+        F.broadcast(nbr_min.withColumnRenamed("v", "node")), "node", "left"
+    ).select(
+        "node",
+        F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        F.col("label").alias("own"),
+    )
 
 
 def connected_components_star(

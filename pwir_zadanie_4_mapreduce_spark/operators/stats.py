@@ -529,15 +529,24 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 optimization round: the member count used to be a separate
     # driver job embedded as a literal; a broadcast 1-row agg rides the
-    # main job instead (same value, one fewer job).
+    # main job instead (same value, one fewer job). The crossJoin sits
+    # ABOVE the probe aggregation (r12 ADVICE): an empty probe table
+    # then still emits the real member count (agg-below-crossJoin made
+    # max(nm) NULL on zero probe rows, diverging from the oracle on
+    # that edge), and nm no longer rides every probe row.
     n_members = members.agg(F.count("*").alias("nm"))
-    return probe.crossJoin(F.broadcast(n_members)).agg(
-        F.max("nm").alias("n_members"),
-        F.count("*").alias("n_probed"),
-        F.count(F.when(F.col("hits") == BLOOM_K, 1)).alias("n_bloom_hits"),
-        F.count(F.when((F.col("hits") == BLOOM_K) & (F.col("is_member") == 0), 1)).alias(
-            "n_false_pos"
-        ),
+    return (
+        probe.agg(
+            F.count("*").alias("n_probed"),
+            F.count(F.when(F.col("hits") == BLOOM_K, 1)).alias("n_bloom_hits"),
+            F.count(
+                F.when((F.col("hits") == BLOOM_K) & (F.col("is_member") == 0), 1)
+            ).alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(n_members))
+        .select(
+            F.col("nm").alias("n_members"), "n_probed", "n_bloom_hits", "n_false_pos"
+        )
     )
 
 
@@ -586,12 +595,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs scoring highest are the most 'typical' text). Top 20 shown.
 
     Plan: tokenization and bigram construction are Catalyst lambda
-    expressions (no Python); the bigram count rides a COUNT window
-    over the (w1,w2) partition — ONE shuffle of the posting where the
-    count-table + join-back spelling pays two on the same key; the
-    unigram table and vocab scalar broadcast back. 100 TB note: the
-    model tables are vocab-bounded (Zipf), so scoring is one corpus
-    scan + one posting shuffle + broadcast joins."""
+    expressions (no Python); the model tables (bigram counts, unigram
+    counts, vocab scalar) are vocab-bounded (Zipf), aggregate map-side
+    and BROADCAST back onto the unshuffled posting — the posting
+    itself never crosses an exchange (r13: the previous spelling ran
+    the bigram count as a COUNT window, exchanging + sorting the full
+    posting). 100 TB note: scoring is one corpus scan + broadcast
+    joins; only per-doc partial aggregates move."""
     scored = _bigram_doc_logprobs(spark, sf_dir)
     return (
         scored.select("doc_id", "n_bigrams", _r4(F.col("avg_lp")).alias("avg_logprob"))
@@ -600,18 +610,43 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bigram_doc_logprobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bigram_doc_logprobs(
+    spark: SparkSession, sf_dir: str, with_docs: bool = False
+):
     """Per-document add-one-smoothed bigram log-probabilities
     (doc_id, n_bigrams, avg_lp) — the shared model+scoring plan behind
     text_bigram_lm_score and quality_perplexity_filter; see the former
-    for the plan rationale."""
+    for the plan rationale. ``with_docs=True`` additionally returns the
+    checkpointed (doc_id, source, t) frame so callers needing document
+    metadata re-read the checkpoint instead of re-scanning the table.
+
+    r13 optimization round (guide §2.3 aggregate-before-shuffle): the
+    bigram count used to ride a COUNT window over the (w1, w2)
+    partition — an exchange of the ENTIRE posting (doc_id, w1, w2,
+    every occurrence) plus the window's sort. The model table is
+    vocab²-bounded (Zipf; 931 rows at sf0.1), so a groupBy(w1, w2)
+    count partial-aggregates map-side (ships one row per distinct
+    bigram per task) and broadcasts back onto the UNSHUFFLED posting —
+    no full-posting exchange, no sort anywhere. vocab likewise stopped
+    being a third explode pass: it is COUNT(*) of the c1 unigram table,
+    whose aggregation exchange is plan-identical to c1's and reused at
+    runtime (AQE stage reuse). The per-doc average then partial-aggs
+    over checkpoint-local rows (each doc's bigrams are contiguous), so
+    the only full-width data movement left in the whole plan is the
+    one corpus tokenize into the checkpoint."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.col("text")).alias("t")
+        "doc_id", "source", _tokens(F.col("text")).alias("t")
     )
     docs = docs.transform(cut_lineage)  # tokens feed unigrams AND bigrams
     uni = docs.select(F.explode("t").alias("w"))
-    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
-    vocab = uni.agg(F.countDistinct("w").alias("vocab"))
+    # cached: the vocab-bounded unigram table feeds the scoring
+    # broadcast AND the vocab scalar — without the cache the vocab
+    # count re-runs c1's whole explode pass (AQE stage reuse does not
+    # fire across the broadcast/agg consumers; verified in the final
+    # adaptive plan). Storage is released by the caller between runs
+    # like every other within-query cache.
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1")).cache()
+    vocab = c1.agg(F.count("*").alias("vocab"))
     bigram_expr = F.when(
         F.size("t") >= 2,
         F.expr(
@@ -622,9 +657,9 @@ def _bigram_doc_logprobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select("doc_id", F.explode(bigram_expr).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    wc2 = Window.partitionBy("w1", "w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     scored = (
-        bg.withColumn("c2", F.count("*").over(wc2))
+        bg.join(F.broadcast(c2), ["w1", "w2"])
         .join(F.broadcast(c1), bg["w1"] == c1["w"])
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -632,9 +667,10 @@ def _bigram_doc_logprobs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab"))).alias("lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    out = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"), F.avg("lp").alias("avg_lp")
     )
+    return (out, docs) if with_docs else out
 
 
 @register(
@@ -686,16 +722,19 @@ def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     op stays meaningful under distribution shift; the comparison is on
     4-decimal-rounded values so the kept set is engine-stable.
 
-    Plan: the shared scoring plan (one posting shuffle + broadcast
-    model tables), CHECKPOINTED so the corpus-mean pass re-reads the
-    per-doc scores instead of re-running the whole scoring plan (the
-    at-scale equivalent is staging the score table); then the mean is
-    a 1-row broadcast and the audit a sources-bounded agg. Docs with
-    <2 tokens have no bigrams and are excluded from scoring by
-    construction."""
-    scored = _bigram_doc_logprobs(spark, sf_dir).transform(cut_lineage)
+    Plan: the shared scoring plan (broadcast model tables over the
+    unshuffled posting), CHECKPOINTED so the corpus-mean pass re-reads
+    the per-doc scores instead of re-running the whole scoring plan
+    (the at-scale equivalent is staging the score table); then the
+    mean is a 1-row broadcast and the audit a sources-bounded agg.
+    The per-source join reads the tokenize CHECKPOINT for (doc_id,
+    source) instead of re-scanning documents — scan count 2 → 1 (r13,
+    the r12 verdict's deferred candidate #4). Docs with <2 tokens have
+    no bigrams and are excluded from scoring by construction."""
+    scored, docs = _bigram_doc_logprobs(spark, sf_dir, with_docs=True)
+    scored = scored.transform(cut_lineage)
     mean_lp = scored.agg(F.avg("avg_lp").alias("mean_lp"))
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src = docs.select("doc_id", "source")
     kept = dround(F.col("avg_lp"), 4) >= dround(F.col("mean_lp"), 4)
     return (
         scored.join(src, "doc_id")
@@ -978,13 +1017,19 @@ def cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "last_click_ts": pa.nulls(n, ts_utc),
                 }
             )
-        ts = left.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts_col = left.column("ts")
+        ts = ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         cts = right.column("cts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         cid = right.column("click_id").to_numpy(zero_copy_only=False)
         order = np.lexsort((cid, cts))
         cts_s, cid_s = cts[order], cid[order]
         idx = np.searchsorted(cts_s, ts, side="right") - 1
         missing = idx < 0
+        # NULL purchase ts → NULL match (a null timestamp becomes NaN in
+        # the numpy view and searchsorted would place it AFTER every
+        # click, silently matching the latest one — r12 ADVICE)
+        if ts_col.null_count:
+            missing |= np.asarray(ts_col.is_null(), dtype=bool)
         safe = np.maximum(idx, 0)
         return pa.table(
             {

@@ -286,3 +286,47 @@ def test_basket_lift_reuses_basket_frame(no_broadcast):
     assert stats["records"] <= budget, (stats, per, total_pairs, n_parts)
     assert max(per) <= 1.1 * total_pairs, (per, total_pairs)
     assert out_rows > 0
+
+
+def test_cc_loop_round_is_shuffle_free(no_broadcast):
+    """connected_components (r13 rewrite) claims ZERO shuffle exchanges
+    per loop round — the pagerank layout applied to min-label
+    propagation: edges hash-partitioned by v once and cached, the
+    per-round label table broadcast onto them, the v-keyed min-label
+    re-aggregation riding the cache's partitioning, and the own-label
+    merge a second broadcast join. The r12 round shape executed 3
+    exchanges per round (edge join + union agg; measured 1943 records
+    at sf0.1). The explicit F.broadcast hints matter: labels sit
+    behind a lineage cut whose unknown size statistics defeat the
+    automatic broadcast, so this runs under the no_broadcast fixture
+    exactly like the pagerank pin."""
+    from pyspark.sql import functions as F
+
+    from pwir_zadanie_4_mapreduce_spark.operators.dedup import _cc_round
+
+    spark = no_broadcast
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (8, 9)], "a: long, b: long"
+        )
+        edges = pairs.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        labels = (
+            edges.select(F.col("u").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint()  # like the real loop: labels sit behind a cut
+        )
+        ev = edges.repartition("v").cache()
+        ev.count()  # build the cache (the one-time |E| repartition)
+        out = _cc_round(ev, labels)
+        rows = out.collect()
+        assert {(r["node"], r["label"]) for r in rows} == {
+            (1, 1), (2, 1), (3, 2), (5, 5), (6, 5), (8, 8), (9, 8)
+        }
+        stats = PM.shuffle_stats(out)
+        assert stats["exchanges"] == 0, stats
+        assert stats["records"] == 0, stats
+    finally:
+        spark.catalog.clearCache()

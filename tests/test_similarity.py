@@ -296,3 +296,51 @@ def test_sql_double_literals_roundtrip_exactly(spark):
     got = spark.range(1).select(F.expr(expr).alias("a")).first()["a"]
     for want, g in zip(vals, got):
         assert st.pack("<d", want) == st.pack("<d", g), (want, g)
+
+
+def test_int8_query_literal_derivation_bit_identical(spark):
+    """The r12 fused-driver-job optimization derives the query's
+    quantized literals in PYTHON (int(math.floor(x / scale + 0.5)))
+    instead of running the Spark quantize expr — valid only if both
+    paths perform the identical IEEE double ops. Pin the bit-identity
+    over numerical edges: negative components, components straddling
+    the .5 rounding boundary, a near-zero amax (tiny scale), and a mix
+    of xorshift doubles (r12 verdict minor #6)."""
+    import math
+    import struct as st
+
+    from pyspark.sql import functions as F
+
+    from pwir_zadanie_4_mapreduce_spark.operators.similarity import (
+        INT8_QMAX,
+        _sql_double,
+    )
+
+    cases = [
+        # (components, amax) — amax plays the fused agg's global max|x|
+        ([0.5, -0.5, 0.25, -0.25, 1.0, -1.0], 1.0),
+        ([1e-305, -1e-305, 3e-306, -7e-307], 1e-305),  # amax ~ 0
+        ([0.1, 0.2, 0.3, -0.1, -0.2, -0.3], 0.3),
+        ([127.49999999999999, -127.5, 126.99999999999999], 127.5),
+    ]
+    x = 6364136223846793005
+    mixed = []
+    for _ in range(64):
+        x ^= (x << 13) & (2**64 - 1)
+        x ^= x >> 7
+        x ^= (x << 17) & (2**64 - 1)
+        d = st.unpack("<d", st.pack("<Q", x))[0]
+        if math.isfinite(d):
+            mixed.append(math.fmod(d, 2.0))  # keep |x| sane
+    cases.append((mixed, max(abs(v) for v in mixed)))
+
+    for comps, amax in cases:
+        scale = amax / float(INT8_QMAX)
+        py = [int(math.floor(v / scale + 0.5)) for v in comps]
+        arr = "array(" + ", ".join(_sql_double(v) for v in comps) + ")"
+        expr = (
+            f"transform({arr}, x -> CAST(FLOOR(x / {_sql_double(scale)} + 0.5)"
+            " AS BIGINT))"
+        )
+        got = spark.range(1).select(F.expr(expr).alias("q")).first()["q"]
+        assert got == py, (comps, scale, got, py)

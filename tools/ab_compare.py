@@ -17,19 +17,24 @@ name = sys.argv[1]
 ref = sys.argv[2] if len(sys.argv) > 2 else "HEAD"
 rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
-sys.path.insert(0, "/root/repo")
+# derive the repo root from this file's location (r12 ADVICE: the
+# hardcoded /root/repo silently compared the wrong tree elsewhere)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 from pwir_zadanie_4_mapreduce_spark.session import build_session
 
 # materialize the OLD repo tree at ref into a tempdir
 tmp = tempfile.mkdtemp(prefix="oldtree_")
 subprocess.run(
-    f"git -C /root/repo archive {ref} | tar -x -C {tmp}",
+    f"git -C {REPO_ROOT} archive {ref} | tar -x -C {tmp}",
     shell=True, check=True,
 )
 
 spark = build_session(app_name="ab_generic", extra_conf={"spark.ui.showConsoleProgress": "false"})
 from bench import _multifile_dir
-sf_dir, _ = _multifile_dir(spark, "/root/testdata/sf0.1")
+sf_dir, _ = _multifile_dir(
+    spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+)
 
 import __spark_entry__ as entry_new
 new_q = entry_new.queries()[name]
