@@ -390,7 +390,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-count diff — the honest failure mode for an LSH recall claim.
     """
     # lazy checkpoint: sh feeds the signature posting AND both
-    # verification joins (see the staging note in dedup_ngram_jaccard)
+    # verification joins (see the staging note in dedup_ngram_jaccard).
+    # r13 note: an EAGER materialization (the incremental_minhash
+    # bounds-job mechanism) was A/B-measured here and is a WASH
+    # (32c 1.300 vs 1.297 min, 8c 1.334 vs 1.273 over 8 rounds) — the
+    # first broadcast build materializes the blocks once and the other
+    # consumers reuse them, so the lazy form stays.
     sh = _hashed_shingles(spark, sf_dir).transform(cut_lineage)
     bands = MINHASH_PERMS // MINHASH_BAND_ROWS
     posting = sh.select("doc_id", F.explode("hs").alias("h"))
