@@ -229,19 +229,19 @@ def join_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Da
     tying click."""
     events = load_table(spark, sf_dir, "events")
 
-    left = events.filter(F.col("event_type") == "purchase").select(
+    # r13 optimization round (guide §7.2): the tagged sides used to be
+    # a unionByName of two separately-filtered events scans — the scan
+    # + filter ran twice. One isin-filtered scan with conditional
+    # columns emits the identical row set (each event is exactly one
+    # type), halving the scan work; the In(event_type, ...) predicate
+    # still pushes to the parquet scan.
+    is_purchase = F.col("event_type") == "purchase"
+    merged = events.filter(F.col("event_type").isin("purchase", "click")).select(
         F.col("user_id").alias("key"),
         "ts",
-        F.lit(1).alias("side"),
-        F.col("event_id").alias("purchase_id"),
-        F.lit(None).cast("long").alias("click_id"),
-    )
-    right = events.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("key"),
-        "ts",
-        F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.col("event_id").alias("click_id"),
+        F.when(is_purchase, 1).otherwise(0).alias("side"),
+        F.when(is_purchase, F.col("event_id")).alias("purchase_id"),
+        F.when(~is_purchase, F.col("event_id")).alias("click_id"),
     )
     w = (
         Window.partitionBy("key")
@@ -251,7 +251,7 @@ def join_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Da
         .orderBy("ts", "side", "click_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = left.unionByName(right).withColumn(
+    merged = merged.withColumn(
         "last_click_id", F.last("click_id", ignorenulls=True).over(w)
     ).withColumn("last_click_ts", F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w))
     return (

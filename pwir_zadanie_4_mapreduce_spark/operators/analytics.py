@@ -1303,21 +1303,18 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     carried row. The naive 'join clicks within 7 days then take max'
     materializes every (purchase × recent click) pair first."""
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
+    # r13 optimization round (guide §7.2): one isin-filtered scan with
+    # conditional columns instead of a unionByName of two filtered
+    # scans — identical row set, half the scan work (same rewrite as
+    # join_asof_last_click_before_purchase, −32 % there).
+    is_purchase = F.col("event_type") == "purchase"
+    merged = ev.filter(F.col("event_type").isin("purchase", "click")).select(
         F.col("user_id").alias("key"),
         "ts",
-        F.lit(1).alias("side"),
-        F.col("event_id").alias("purchase_id"),
-        "value",
-        F.lit(None).cast("long").alias("click_id"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("key"),
-        "ts",
-        F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.lit(None).cast("double").alias("value"),
-        F.col("event_id").alias("click_id"),
+        F.when(is_purchase, 1).otherwise(0).alias("side"),
+        F.when(is_purchase, F.col("event_id")).alias("purchase_id"),
+        F.when(is_purchase, F.col("value")).alias("value"),
+        F.when(~is_purchase, F.col("event_id")).alias("click_id"),
     )
     w = (
         Window.partitionBy("key")
@@ -1325,7 +1322,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = (
-        purchases.unionByName(clicks)
+        merged
         .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
         .withColumn(
             "last_click_ts",
